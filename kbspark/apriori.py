@@ -1,0 +1,60 @@
+"""A2 — a-priori link probabilities with explicit skew handling.
+
+The reference computes, per entity, count(links where target==entity) /
+count(links) as N parallel SQLite point queries
+(wikipedia/entities.py:320-375). Here it is one aggregation; the
+north_rule requires head-entity skew (high-frequency QIDs) to be handled
+explicitly, so the aggregation is **two-phase salted**:
+
+    phase 1: groupBy(key, salt)  — salt = pmod(hash(row-local column), S)
+             shards each hot key across S reducers; partial counts
+    phase 2: groupBy(key)        — sums the S partials
+
+Phase 1 rows are at most S per key, so phase 2 is skew-free by
+construction. Results are exactly equal to the unsalted aggregation
+(asserted in tests and in the driver contract: a2_salted_apriori shares
+its oracle with a2_apriori_probs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
+    """Two-phase salted count per key → columns (key, n_links)."""
+    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), n_salts)
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("_partial").cast("bigint").alias("n_links"))
+
+
+def apriori_probs(links: DataFrame, target_col: str = "target",
+                  n_salts: int = 16) -> DataFrame:
+    """links table → (target, n_links, proba); proba = n_links / total
+    (wikipedia/entities.py:370-372)."""
+    total = links.count()
+    counts = salted_count(links, key=target_col, n_salts=n_salts)
+    return counts.withColumn(
+        "proba", F.col("n_links") / F.lit(float(total))
+    )
+
+
+def attach_probs(entities: DataFrame, links: DataFrame,
+                 entity_key: str = "page_title",
+                 target_col: str = "target") -> DataFrame:
+    """Join probabilities back onto the entity dictionary; entities with
+    no links get proba 0.0 (the reference's count=0/total)."""
+    probs = apriori_probs(links, target_col=target_col)
+    return (
+        entities.join(
+            F.broadcast(probs.withColumnRenamed(target_col, entity_key)),
+            entity_key,
+            "left",
+        )
+        .withColumn("proba", F.coalesce(F.col("proba"), F.lit(0.0)))
+        .withColumn("n_links", F.coalesce(F.col("n_links"), F.lit(0)))
+    )

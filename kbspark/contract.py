@@ -1,0 +1,56 @@
+"""Driver-contract query registry.
+
+Each entry maps a SURVEY.md §2 operator onto the driver's parquet tables
+(region nation customer supplier part orders lineitem events documents
+embeddings) as a (spark_query, duckdb_oracle_sql) pair. The driver runs
+both at sf0.01 and compares row count + schema + order-insensitive value
+hash, so every computed column is aliased identically on both sides and
+floating-point outputs are rounded.
+
+Queries without a SQL-expressible oracle (UDF-heavy extraction paths)
+are registered in CONTRACT_QUERIES only → driver records a rows-only
+check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+CONTRACT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+CONTRACT_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from kbspark.session import pin_session_conf
+
+            pin_session_conf(spark)
+            _load_views(spark, sf_dir)
+            return fn(spark, sf_dir)
+
+        CONTRACT_QUERIES[name] = wrapped
+        if oracle is not None:
+            CONTRACT_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def _load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+# Import side-effect registration of all query groups.
+from kbspark import queries_relational  # noqa: E402,F401
+from kbspark import queries_text  # noqa: E402,F401
+from kbspark import queries_graph  # noqa: E402,F401

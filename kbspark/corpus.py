@@ -1,0 +1,217 @@
+"""Deterministic synthetic corpora (FIXTURES.md §1).
+
+Two generators:
+
+1. ``synth_corpus`` — a seeded wiki-markup corpus in the input_hint shape
+   ``(url, warc_ts, html, text, lang)`` that exercises every regex branch
+   of the E1 cascade plus entity/redirect/disambiguation structure, with a
+   Zipf head-entity skew knob (exercises salted aggregation, SURVEY §2.D
+   A2). Used by unit tests and the scaling bench.
+
+2. ``pages_from_documents`` — derives the same shape *deterministically*
+   from the driver's ``documents.parquet`` (doc_id/text/lang), entirely
+   row-local (mapInPandas), so the flagship ``entry()`` runs the real
+   pipeline over driver-provided data without any RNG or external input.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# 1. Seeded synthetic wiki corpus
+# ---------------------------------------------------------------------------
+
+_VOCAB = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+    "xi omicron pi rho sigma tau upsilon phi chi psi omega stadt fluss berg "
+    "verein firma museum schule theater bahnhof kirche schloss park insel"
+).split()
+
+_LANGS = ("de", "de", "fr", "en")  # 50/25/25 skew per FIXTURES.md
+
+
+def entity_title(i: int) -> str:
+    return f"Entity_{_VOCAB[i % len(_VOCAB)].capitalize()}_{i}"
+
+
+def _entity_type_for(i: int) -> str:
+    return ("PER", "LOC", "ORG")[i % 3]
+
+
+def synth_dims(n_entities: int = 200, n_redirects: int = 60):
+    """Entity-type and redirect dictionaries matching the corpus.
+
+    Returns ``(entity_types, redirect_targets)`` dicts — the broadcast
+    dims for the extract stages (analog of all_entities/redirects,
+    ner.py:254-256).
+    """
+    entity_types = {entity_title(i): _entity_type_for(i) for i in range(n_entities)}
+    redirect_targets = {
+        f"Redirect_{j}": entity_title(j % n_entities) for j in range(n_redirects)
+    }
+    return entity_types, redirect_targets
+
+
+def synth_corpus(
+    n_pages: int,
+    seed: int = 42,
+    n_entities: int = 200,
+    n_redirects: int = 60,
+    zipf_a: float = 1.5,
+) -> pd.DataFrame:
+    """Seeded corpus of wiki-markup pages in the input_hint shape.
+
+    Markup features per page are drawn deterministically from
+    ``RandomState(seed)`` and cover: plain/surfaced/anchored wikilinks,
+    redirect links, nested templates and tables, paired/self-closing tags,
+    comments, headings, terminal literature sections, ``&nbsp;``, external
+    and file links. Entity references are Zipf-distributed → head-entity
+    skew.
+    """
+    rng = np.random.RandomState(seed)
+    rows = []
+    base_ts = _dt.datetime(2024, 1, 1)
+    for p in range(n_pages):
+        ent_ids = np.minimum(rng.zipf(zipf_a, size=8) - 1, n_entities - 1)
+        redir_id = int(rng.randint(0, n_redirects))
+        words = rng.choice(_VOCAB, size=30)
+        e = [entity_title(int(i)) for i in ent_ids]
+        chunks = [
+            f"{words[0]} {words[1]} [[{e[0]}]] {words[2]}. ",
+            f"{words[3]} [[{e[1]}|{words[4]} {words[5]}]] {words[6]}. ",
+            f"[[{e[2]}#section|{words[7]}]] {words[8]} {words[9]}. ",
+            f"[[Redirect_{redir_id}|{words[10]}]] {words[11]}. ",
+            f"[[Unknown_{p}]] {words[12]} &nbsp; {words[13]}. ",
+            f"{{{{Infobox|name={words[14]}|data={{{{nested|{words[15]}}}}}}}}} ",
+            f"{{| class=wikitable |- | {words[16]} |}} ",
+            f"<ref>{words[17]}</ref> {words[18]} <br/> ",
+            f"<!-- hidden {words[19]} --> == {words[20].capitalize()} == ",
+            f"[http://example.com/{p} ext] [[Datei:img_{p}.png|thumb]] ",
+            f"{words[21]} [[{e[3]}]] {words[22]} [[{e[4]}]]. ",
+            f"== Literatur == {words[23]} trailing refs",
+        ]
+        text = "".join(chunks)
+        lang = _LANGS[p % len(_LANGS)]
+        url = f"https://site{p % 7}.example/{lang}/wiki/Page_{p}"
+        rows.append(
+            {
+                "url": url,
+                "warc_ts": base_ts + _dt.timedelta(minutes=p),
+                "html": text.encode("utf-8"),
+                "text": text,
+                "lang": lang,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def synth_corpus_df(spark, n_pages: int, seed: int = 42, n_partitions: int | None = None,
+                    **kw):
+    """``synth_corpus`` as a Spark DataFrame.
+
+    For large n_pages the generation itself is distributed: a range
+    DataFrame of page ids → mapInPandas generator (each batch re-seeds
+    RandomState(seed + first page id) so output is independent of
+    partitioning)."""
+    if n_pages <= 50_000:
+        sdf = spark.createDataFrame(synth_corpus(n_pages, seed=seed, **kw))
+        return sdf.repartition(n_partitions) if n_partitions else sdf
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pid in pdf["id"]:
+                # one page per seed-derivation: deterministic w.r.t. page id
+                yield synth_corpus(1, seed=seed + int(pid), **kw).assign(
+                    url=f"https://site{int(pid) % 7}.example/wiki/Page_{int(pid)}"
+                )
+
+    rng_df = spark.range(n_pages).repartition(n_partitions or 64)
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    return rng_df.mapInPandas(gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# 2. Deterministic derivation from the driver's documents table
+# ---------------------------------------------------------------------------
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def _doc_to_markup(doc_id: int, text: str) -> str:
+    """Inject wiki markup into a document deterministically (pure function
+    of doc_id + token position; no RNG, no collect — safe to run
+    distributed)."""
+    words = text.split()
+    out = []
+    for i, w in enumerate(words):
+        h = (doc_id * 1_000_003 + i * 101) % 17
+        if h == 0 and len(w) >= 4:
+            out.append(f"[[{w.capitalize()}]]")
+        elif h == 1 and len(w) >= 4:
+            out.append(f"[[{w.capitalize()}|{w}]]")
+        elif h == 2 and len(w) >= 4:
+            out.append(f"[[{w.capitalize()}_redir|{w}]]")
+        elif h == 3:
+            out.append("{{cite|" + w + "}}")
+        elif h == 4:
+            out.append(f"<ref>{w}</ref>")
+        else:
+            out.append(w)
+        if (i * 7 + doc_id) % 23 == 0:
+            out.append(".")
+    return " ".join(out) + " == Literatur == trailing"
+
+
+def pages_from_documents(spark, sf_dir: str):
+    """documents.parquet → input_hint-shaped pages DataFrame (url, warc_ts,
+    html, text, lang); markup injected deterministically per doc."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        epoch = _dt.datetime(2024, 1, 1)
+        for pdf in batches:
+            marked = [
+                _doc_to_markup(int(d), t) for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": [f"https://crawl.example/doc/{int(d)}" for d in pdf["doc_id"]],
+                    "warc_ts": [
+                        epoch + _dt.timedelta(seconds=int(d)) for d in pdf["doc_id"]
+                    ],
+                    "html": [m.encode("utf-8") for m in marked],
+                    "text": marked,
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(run, schema=PAGES_SCHEMA)
+
+
+def dims_from_documents(spark, sf_dir: str) -> tuple[dict[str, str], dict[str, str]]:
+    """Derive the broadcast entity/redirect dictionaries from the corpus
+    vocabulary: every word of length >= 4 is an entity page title
+    (capitalized), typed by a stable hash; ``<Title>_redir`` redirects to
+    ``<Title>``. Small dim (vocab-sized) — collected to the driver and
+    broadcast, exactly like the reference ships all_entities/redirects to
+    its worker pool (ner.py:292-293)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    words = (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.length("w") >= 4)
+        .select(F.initcap("w").alias("title"))
+        .distinct()
+    )
+    titles = [r["title"] for r in words.collect()]
+    entity_types = {
+        t: ("PER", "LOC", "ORG")[sum(t.encode()) % 3] for t in sorted(titles)
+    }
+    redirect_targets = {f"{t}_redir": t for t in sorted(titles)}
+    return entity_types, redirect_targets

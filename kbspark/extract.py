@@ -1,0 +1,432 @@
+"""Markup-to-text extraction + annotation operators (SURVEY.md §2.E).
+
+Operator map (reference citations into /root/reference):
+
+- E1 ``clean_text``       — markup-strip regex cascade; BYTE-IDENTICAL per
+                            url to the reference extractor
+                            (qurator/wikipedia/ner.py:30-76). The regex
+                            patterns, their order, the bounded loops and
+                            the swallow-exception fallback ARE the spec —
+                            do not "optimize" them into Spark
+                            ``regexp_replace`` (Java regex differs from
+                            Python ``re`` on edge cases).
+- E2 ``extract_link_parts`` — ``[[target|surface]]`` mention extraction +
+                            entity/redirect resolution (ner.py:79-120,
+                            precedence: entity dict, then one redirect
+                            hop, then entity dict again).
+- E3 ``RegexTokenizer``   — injectable tokenizer seam. The reference uses
+                            SoMaJo de_CMC with split_camel_case
+                            (ner.py:123-141,203); SoMaJo is not available
+                            here, so a deterministic regex tokenizer is
+                            the default implementation. Anything with a
+                            ``tokenize_text(list[str]) -> list[list[str]]``
+                            shape plugs in.
+- E4 BIO tagging          — first token of a linked span ``B-<TYPE>``,
+                            rest ``I-<TYPE>``, else ``O`` (ner.py:139).
+- E5 ``RegexSentenceSplitter`` + ``annotated_tokenization`` — sentence
+                            split over the flat token stream, then re-zip
+                            tokens with (link_title, tag) metadata by
+                            position (ner.py:144-167).
+- E6 per-page packing     — sentence-grouped nested arrays
+                            (ner.py:183-197); typed
+                            array<array<string>> columns instead of JSON
+                            strings (a ``to_json`` view is provided for
+                            byte-compat checks).
+
+Spark surface: every entry point that touches a DataFrame is Arrow-batched
+(``mapInPandas``); the per-document Python below runs *inside* an Arrow
+batch, exactly like the reference's per-document pandas code ran inside a
+process-pool worker (ner.py:292-293). No row-at-a-time Python UDF is
+registered anywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# E1 — clean_text. Pattern cascade per ner.py:30-76 (patterns + order are the
+# byte-identity spec; verified against the reference function, exec'd from
+# its source, in tests/test_clean_text_identity.py).
+# ---------------------------------------------------------------------------
+
+_LITERATURE_SECTION = re.compile(
+    r"== (Literatur|Références|References|Bibliographie|Further reading) ==.*$",
+    re.DOTALL,
+)
+_FILM_SECTION = re.compile(r"== (Filme|Film|Filmographie|Œuvres) ==.*$", re.DOTALL)
+_HTML_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_SELF_CLOSING_TAG = re.compile(r"<[^<]*?/>", re.DOTALL)
+_PAIRED_TAG = re.compile(r"<[^/]+?>.*?</.+?>", re.DOTALL)
+_HAS_TABLE = re.compile(r".*{\|.*?\|}.*", re.DOTALL)
+_TABLE = re.compile(r"{\|((?!{\|).)*?\|}", re.DOTALL)
+_HAS_TEMPLATE = re.compile(r".*{{[^{]+?}}.*", re.DOTALL)
+_TEMPLATE = re.compile(r"{{[^{]+?}}", re.DOTALL)
+_HEADING = re.compile(r"={2,10}.*?={2,10}", re.DOTALL)
+_NBSP = re.compile(r"&nbsp;")
+_WIKILINK_TO_GUARD = re.compile(r"\[\[([^|\[]*?)([|]?)([^|]+?)\]\]")
+_FILE_LINK = re.compile(r"\[\[(Datei|Fichier|File):.+?\]\]")
+_HTTP_LINK = re.compile(r"\[https?://.+?\]")
+_GUARD_TO_WIKILINK = re.compile(r"{\|([^|\[]*?)([|]?)([^|]+?)\|}")
+
+#: loop bound for nested table/template stripping (ner.py:48,53)
+_MAX_STRIP_ITERATIONS = 1000
+
+
+def clean_text(raw_text: str) -> str:
+    """Strip wiki markup from ``raw_text``; byte-identical to the
+    reference extractor (ner.py:30-76), including the
+    return-empty-string-on-any-exception contract (ner.py:73-76)."""
+    try:
+        t = _LITERATURE_SECTION.sub("", raw_text)
+        t = _FILM_SECTION.sub("", t)
+        t = _HTML_COMMENT.sub(" ", t)
+        t = _SELF_CLOSING_TAG.sub(" ", t)
+        t = _PAIRED_TAG.sub(" ", t)
+
+        n = 0
+        while _HAS_TABLE.match(t) and n < _MAX_STRIP_ITERATIONS:
+            t = _TABLE.sub("", t)
+            n += 1
+
+        n = 0
+        while _HAS_TEMPLATE.match(t) and n < _MAX_STRIP_ITERATIONS:
+            t = _TEMPLATE.sub("", t)
+            n += 1
+
+        t = _HEADING.sub(" ", t)
+        t = _NBSP.sub(" ", t)
+        # protect wikilinks as {|...|} so file/http link removal can't eat them,
+        # then restore (ner.py:62-70)
+        t = _WIKILINK_TO_GUARD.sub(r"{|\1\2\3|}", t)
+        t = _FILE_LINK.sub("", t)
+        t = _HTTP_LINK.sub("", t)
+        t = _GUARD_TO_WIKILINK.sub(r"[[\1\2\3]]", t)
+        return t
+    except Exception:
+        return ""
+
+
+# ---------------------------------------------------------------------------
+# E2 — wikilink mention extraction + dictionary resolution (ner.py:79-120)
+# ---------------------------------------------------------------------------
+
+_WIKILINK = re.compile(r"\[\[([^|\[]*?)[|]?([^|]+?)\]\]")
+_ANCHOR = re.compile(r"(.*?)[#]?([^#]*)")
+
+
+def resolve_title(
+    page_title: str,
+    entity_types: dict[str, str],
+    redirect_targets: dict[str, str],
+) -> tuple[str, str]:
+    """Resolve a link target against the entity dictionary with one
+    redirect hop; precedence per ner.py:100-114 (entity dict first, then
+    redirect, then entity dict on the redirect target). Returns
+    ``(resolved_title, entity_type)`` with type ``'O'`` for non-entities.
+
+    Redirect multiplicity is handled upstream: the redirect dictionary is
+    deduplicated keep-first exactly as the reference does
+    (wikipedia/entities.py:123-125), so the 'Multiple redirects!' error
+    path (ner.py:106-107) is unreachable by construction.
+    """
+    etype = entity_types.get(page_title)
+    if etype is not None:
+        return page_title, etype
+    target = redirect_targets.get(page_title)
+    if target is not None:
+        return target, entity_types.get(target, "O")
+    return page_title, "O"
+
+
+def extract_link_parts(
+    cleaned_text: str,
+    entity_types: dict[str, str],
+    redirect_targets: dict[str, str],
+) -> list[tuple[str, str, str]]:
+    """Split cleaned text at ``[[...]]`` links into alternating parts
+    (ner.py:79-120): plain-text parts carry ``('', 'O')`` metadata, link
+    parts carry ``(resolved_page_title, entity_type)``.
+
+    Returns a list of ``(surface_text, page_title, entity_type)``.
+    """
+    parts: list[tuple[str, str, str]] = []
+    pos = 0
+    for m in _WIKILINK.finditer(cleaned_text):
+        parts.append((cleaned_text[pos : m.start()], "", "O"))
+        pos = m.end()
+        # target is group 1 if present else the surface; spaces -> underscores
+        # (ner.py:92); strip a '#anchor' suffix (ner.py:95)
+        title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
+        title = _ANCHOR.match(title)[2]
+        title, etype = resolve_title(title, entity_types, redirect_targets)
+        parts.append((m[2], title, etype))
+    parts.append((cleaned_text[pos:], "", "O"))
+    return parts
+
+
+def extract_mentions(
+    cleaned_text: str,
+    entity_types: dict[str, str],
+    redirect_targets: dict[str, str],
+) -> list[tuple[int, str, str, str]]:
+    """Link occurrences only: ``(mention_pos, surface, page_title, type)``.
+
+    The narrow path for triple emission — same resolution semantics as
+    ``extract_link_parts`` without materializing plain-text spans.
+    """
+    out = []
+    for i, m in enumerate(_WIKILINK.finditer(cleaned_text)):
+        title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
+        title = _ANCHOR.match(title)[2]
+        title, etype = resolve_title(title, entity_types, redirect_targets)
+        out.append((i, m[2], title, etype))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# E3/E5 — injectable tokenizer + sentence splitter (regex fallback for SoMaJo)
+# ---------------------------------------------------------------------------
+
+
+class RegexTokenizer:
+    """Deterministic tokenizer standing in for SoMaJo de_CMC
+    (ner.py:203). Word/number/punctuation split + optional camel-case
+    splitting (``split_camel_case=True`` mirrors the reference config).
+
+    ``tokenize_text(texts)`` yields sentences (lists of token strings) —
+    the same iteration shape the reference consumes (ner.py:132-139), so a
+    real SoMaJo adapter can be injected on a cluster where it's installed.
+    This fallback emits the whole input as one sentence; page-level
+    sentence structure comes from the downstream ``SentenceSplitter``
+    pass, as in the reference.
+    """
+
+    _TOKEN = re.compile(r"\d+(?:[.,]\d+)*|\w+(?:['’]\w+)*|[^\w\s]")
+    _CAMEL = re.compile(r"(?<=[a-zäöüß])(?=[A-ZÄÖÜ])")
+
+    def __init__(self, split_camel_case: bool = True):
+        self.split_camel_case = split_camel_case
+
+    def tokenize(self, text: str) -> list[str]:
+        toks: list[str] = []
+        for m in self._TOKEN.finditer(text):
+            tok = m.group(0)
+            if self.split_camel_case and tok and tok[0].isalpha():
+                toks.extend(self._CAMEL.split(tok))
+            else:
+                toks.append(tok)
+        return toks
+
+    def tokenize_text(self, texts: Iterable[str]) -> list[list[str]]:
+        out = []
+        for text in texts:
+            toks = self.tokenize(text)
+            if toks:
+                out.append(toks)
+        return out
+
+
+class RegexSentenceSplitter:
+    """Sentence splitter over a flat token stream (stands in for SoMaJo's
+    ``SentenceSplitter.split``, ner.py:156): a sentence ends after a
+    ``.``/``!``/``?`` token."""
+
+    _TERMINALS = frozenset({".", "!", "?"})
+
+    def split(self, tokens: list[str]) -> list[list[str]]:
+        sentences: list[list[str]] = []
+        current: list[str] = []
+        for tok in tokens:
+            current.append(tok)
+            if tok in self._TERMINALS:
+                sentences.append(current)
+                current = []
+        if current:
+            sentences.append(current)
+        return sentences
+
+
+# ---------------------------------------------------------------------------
+# E4/E5 — annotated tokenization (ner.py:123-167 dataflow)
+# ---------------------------------------------------------------------------
+
+
+def tokenize_parts(tokenizer, parts) -> tuple[list[str], list[tuple[str, str]]]:
+    """Tokenize each (surface, title, type) part; emit the flat token list
+    plus per-token (link_title, BIO tag) metadata (ner.py:123-141).
+    Token-internal spaces become underscores (ner.py:137); B- goes on the
+    first token of each tokenizer-sentence within a linked part
+    (ner.py:139)."""
+    tokens: list[str] = []
+    meta: list[tuple[str, str]] = []
+    for surface, title, etype in parts:
+        for sentence in tokenizer.tokenize_text([surface]):
+            for i, tok in enumerate(sentence):
+                tokens.append(tok.replace(" ", "_"))
+                if etype == "O":
+                    tag = "O"
+                else:
+                    tag = ("B-" if i == 0 else "I-") + etype
+                meta.append((title, tag))
+    return tokens, meta
+
+
+def annotated_tokenization(
+    raw_text: str,
+    tokenizer,
+    sentence_splitter,
+    entity_types: dict[str, str],
+    redirect_targets: dict[str, str],
+) -> list[tuple[int, int, str, str, str]]:
+    """Full E1→E5 chain for one document; rows are
+    ``(sentence, token, word, page_title, tag)`` (ner.py:144-167,
+    including the sentinel-offset realignment at :154-165)."""
+    parts = extract_link_parts(clean_text(raw_text), entity_types, redirect_targets)
+    if not parts:
+        return []
+    tokens, meta = tokenize_parts(tokenizer, parts)
+    meta = [("", "O")] + meta
+    sentences = sentence_splitter.split(tokens)
+    rows: list[tuple[int, int, str, str, str]] = []
+    pos = 1
+    for s_idx, sentence in enumerate(sentences):
+        for w_idx, tok in enumerate(sentence):
+            rows.append((s_idx, w_idx, tok, meta[pos][0], meta[pos][1]))
+            pos += 1
+    return rows
+
+
+def pack_page(rows) -> tuple[list[list[str]], list[list[str]], list[list[str]]]:
+    """E6: group annotated rows into per-sentence nested lists
+    (text, tags, link_titles) — ner.py:183-197, with typed arrays instead
+    of JSON strings."""
+    text: list[list[str]] = []
+    tags: list[list[str]] = []
+    link_titles: list[list[str]] = []
+    current = None
+    for s_idx, _w_idx, word, title, tag in rows:
+        if s_idx != current:
+            text.append([])
+            tags.append([])
+            link_titles.append([])
+            current = s_idx
+        text[-1].append(word)
+        tags[-1].append(tag)
+        link_titles[-1].append(title)
+    return text, tags, link_titles
+
+
+# ---------------------------------------------------------------------------
+# Spark stages (Arrow-batched; broadcast dims = the D1 analog)
+# ---------------------------------------------------------------------------
+
+# Module-level lazy singletons: initialized once per Python worker, the
+# direct analog of the reference's pool initializer (ner.py:199-207 via
+# prun initializer, ner.py:292-293).
+_WORKER_TOKENIZER: RegexTokenizer | None = None
+_WORKER_SPLITTER: RegexSentenceSplitter | None = None
+
+
+def _worker_nlp() -> tuple[RegexTokenizer, RegexSentenceSplitter]:
+    global _WORKER_TOKENIZER, _WORKER_SPLITTER
+    if _WORKER_TOKENIZER is None:
+        _WORKER_TOKENIZER = RegexTokenizer(split_camel_case=True)
+        _WORKER_SPLITTER = RegexSentenceSplitter()
+    return _WORKER_TOKENIZER, _WORKER_SPLITTER
+
+
+CLEANED_SCHEMA = "url string, cleaned string"
+MENTIONS_SCHEMA = (
+    "url string, mention_pos int, surface string, page_title string, "
+    "entity_type string"
+)
+TAGGED_SCHEMA = (
+    "url string, page_title string, text array<array<string>>, "
+    "tags array<array<string>>, link_titles array<array<string>>"
+)
+
+
+def clean_pages(pages_df, text_col: str = "text"):
+    """E1 as a Spark stage: pages -> (url, cleaned). Narrow, zero-shuffle;
+    one Arrow batch in, one out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"url": pdf["url"], "cleaned": pdf[text_col].map(clean_text)}
+            )
+
+    return pages_df.select("url", text_col).mapInPandas(run, schema=CLEANED_SCHEMA)
+
+
+def mention_stage(pages_df, spark, entity_types: dict, redirect_targets: dict,
+                  text_col: str = "text"):
+    """E1+E2+J5 fused in one narrow stage: pages -> one row per resolved
+    mention. The dictionaries ride a Spark broadcast (D1 analog); lookup
+    happens inside the Arrow batch, so the whole extract+resolve path is a
+    single zero-shuffle mapInPandas."""
+    sc = spark.sparkContext
+    bc_types = sc.broadcast(entity_types)
+    bc_redirects = sc.broadcast(redirect_targets)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        etypes = bc_types.value
+        redirects = bc_redirects.value
+        for pdf in batches:
+            urls, positions, surfaces, titles, types = [], [], [], [], []
+            for url, raw in zip(pdf["url"], pdf[text_col]):
+                for pos, surface, title, etype in extract_mentions(
+                    clean_text(raw), etypes, redirects
+                ):
+                    urls.append(url)
+                    positions.append(pos)
+                    surfaces.append(surface)
+                    titles.append(title)
+                    types.append(etype)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "mention_pos": pd.Series(positions, dtype="int32"),
+                    "surface": pd.Series(surfaces, dtype="object"),
+                    "page_title": pd.Series(titles, dtype="object"),
+                    "entity_type": pd.Series(types, dtype="object"),
+                }
+            )
+
+    return pages_df.select("url", text_col).mapInPandas(run, schema=MENTIONS_SCHEMA)
+
+
+def annotate_stage(pages_df, spark, entity_types: dict, redirect_targets: dict,
+                   text_col: str = "text", title_col: str = "url"):
+    """E1→E6 fused: pages -> tagged table with typed nested sentence
+    arrays (the reference's `tagged` table, ner.py:196-197/274-276, minus
+    the JSON encoding). Narrow, zero-shuffle."""
+    sc = spark.sparkContext
+    bc_types = sc.broadcast(entity_types)
+    bc_redirects = sc.broadcast(redirect_targets)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tokenizer, splitter = _worker_nlp()
+        etypes = bc_types.value
+        redirects = bc_redirects.value
+        for pdf in batches:
+            out = {"url": [], "page_title": [], "text": [], "tags": [],
+                   "link_titles": []}
+            for url, title, raw in zip(pdf["url"], pdf[title_col], pdf[text_col]):
+                rows = annotated_tokenization(
+                    raw, tokenizer, splitter, etypes, redirects
+                )
+                text, tags, link_titles = pack_page(rows)
+                out["url"].append(url)
+                out["page_title"].append(title)
+                out["text"].append(text)
+                out["tags"].append(tags)
+                out["link_titles"].append(link_titles)
+            yield pd.DataFrame(out)
+
+    cols = ["url", text_col] if title_col == "url" else ["url", title_col, text_col]
+    return pages_df.select(*cols).mapInPandas(run, schema=TAGGED_SCHEMA)

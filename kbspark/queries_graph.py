@@ -1,0 +1,179 @@
+"""Graph-closure and KG-pipeline contract queries.
+
+The kg_* queries run the REAL extraction pipeline (E1 clean_text →
+E2 mention extraction → broadcast dictionary resolution → triple
+materialization) over pages derived deterministically from
+documents.parquet. Their oracles do not re-implement the regex pipeline —
+they invert the deterministic markup generator in SQL, so any divergence
+in the extraction path (cleaning, link parsing, redirect hop, QID
+assignment, dedup counting) surfaces as a value-hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kbspark.contract import register
+
+
+@register(
+    "a1_graph_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT l_suppkey % 40 AS src, l_partkey % 40 AS dst FROM lineitem
+    ),
+    r(node) AS (
+      SELECT CAST(0 AS BIGINT) AS node
+      UNION
+      SELECT e.dst FROM r JOIN edges e ON e.src = r.node
+    )
+    SELECT node FROM r
+    """,
+)
+def a1_graph_closure(spark, sf_dir):
+    """A1: transitive closure via iterative DataFrame BFS (the reference's
+    recursive category descent, wikipedia/entities.py:9-48); oracle is a
+    recursive CTE. The derived edge graph contains cycles — exercises the
+    visited-set guard."""
+    import pandas as pd
+
+    from kbspark.closure import reachable
+
+    edges = (
+        spark.table("lineitem")
+        .select(
+            (F.col("l_suppkey") % 40).alias("src"),
+            (F.col("l_partkey") % 40).alias("dst"),
+        )
+        .distinct()
+    )
+    roots = spark.createDataFrame(pd.DataFrame({"node": [0]}))
+    return reachable(edges, roots).select(F.col("node").cast("bigint").alias("node"))
+
+
+_ORACLE_MENTION_BASE = """
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, UNNEST(words) AS tok, UNNEST(RANGE(0, LEN(words))) AS i FROM w
+    ),
+    men AS (
+      SELECT doc_id, UPPER(tok[1]) || tok[2:] AS page_title
+      FROM pos
+      WHERE LENGTH(tok) >= 4
+        AND (doc_id * 1000003 + i * 101) % 17 IN (0, 1, 2)
+    )
+"""
+
+
+@register(
+    "kg_mentions",
+    oracle=_ORACLE_MENTION_BASE
+    + """
+    SELECT page_title, COUNT(*) AS n_mentions
+    FROM men GROUP BY page_title
+    """,
+)
+def kg_mentions(spark, sf_dir):
+    """End-to-end extraction check: documents → markup pages → E1+E2+J5
+    pipeline → per-entity mention counts. The oracle inverts the
+    deterministic markup generator instead of re-running the pipeline."""
+    from kbspark.corpus import dims_from_documents, pages_from_documents
+    from kbspark.extract import mention_stage
+
+    pages = pages_from_documents(spark, sf_dir)
+    entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
+    mentions = mention_stage(pages, spark, entity_types, redirect_targets)
+    return (
+        mentions.filter(F.col("entity_type") != "O")
+        .groupBy("page_title")
+        .agg(F.count("*").alias("n_mentions"))
+    )
+
+
+@register(
+    "kg_triples",
+    oracle=_ORACLE_MENTION_BASE
+    + """,
+    dict AS (
+      SELECT DISTINCT UPPER(tok[1]) || tok[2:] AS title
+      FROM pos WHERE LENGTH(tok) >= 4
+    ),
+    qids AS (
+      SELECT title,
+             'Q' || CAST(CAST(CONCAT('0x', SUBSTR(MD5(title), 1, 6)) AS BIGINT)
+                         AS VARCHAR) AS qid,
+             CASE LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(title) + 1),
+                                          i -> ORD(title[i]))) % 3
+               WHEN 0 THEN 'PER' WHEN 1 THEN 'LOC' ELSE 'ORG' END AS typ
+      FROM dict
+    ),
+    mention_triples AS (
+      SELECT 'https://crawl.example/doc/' || CAST(m.doc_id AS VARCHAR) AS subj,
+             'mentions' AS pred, q.qid AS obj, COUNT(*) AS n_occurrences
+      FROM men m JOIN qids q ON q.title = m.page_title
+      GROUP BY 1, 2, 3
+    ),
+    entity_triples AS (
+      SELECT qid AS subj, 'instance_of' AS pred, typ AS obj,
+             CAST(1 AS BIGINT) AS n_occurrences
+      FROM qids
+    ),
+    redirect_triples AS (
+      SELECT title || '_redir' AS subj, 'redirects_to' AS pred, title AS obj,
+             CAST(1 AS BIGINT) AS n_occurrences
+      FROM dict
+    )
+    SELECT subj, pred, obj, n_occurrences FROM mention_triples
+    UNION ALL SELECT * FROM entity_triples
+    UNION ALL SELECT * FROM redirect_triples
+    """,
+)
+def kg_triples(spark, sf_dir):
+    """The flagship itself, oracle-checked: full triple materialization
+    (mentions/instance_of/redirects_to families) over the derived corpus."""
+    from kbspark.jobs import flagship_triples
+
+    return flagship_triples(spark, sf_dir).select(
+        "subj", "pred", "obj", "n_occurrences"
+    )
+
+
+@register("kg_tagged_stats")
+def kg_tagged_stats(spark, sf_dir):
+    """Rows-only check (tokenizer not SQL-expressible): the annotate
+    stage (E3-E6) — per-page sentence/token counts from the tagged table
+    with typed nested arrays."""
+    from kbspark.jobs import tagged_table
+
+    tagged = tagged_table(spark, sf_dir)
+    return tagged.select(
+        "url",
+        F.size("text").alias("n_sentences"),
+        F.aggregate(
+            F.transform(F.col("text"), lambda s: F.size(s)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("n_tokens"),
+    )
+
+
+@register("t_simhash_near_dups")
+def t_simhash_near_dups(spark, sf_dir):
+    """Rows-only check: SimHash near-duplicate pairs (64-bit signatures,
+    16-bit block LSH, Hamming <= 12 verification)."""
+    from kbspark.textops import simhash_near_dups
+
+    return simhash_near_dups(spark.table("documents"), max_hamming=12)
+
+
+@register("s_knn_lsh")
+def s_knn_lsh(spark, sf_dir):
+    """Rows-only check: random-hyperplane LSH ANN (approximate — no exact
+    oracle by construction; recall vs brute force is asserted in
+    tests/test_simsearch.py)."""
+    from kbspark.simsearch import knn_lsh
+
+    emb = spark.table("embeddings")
+    return knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=6, dim=64)

@@ -1,0 +1,708 @@
+"""SURVEY.md §2 relational operators mapped onto the driver's TPC-H-ish
+tables, each with a DuckDB oracle.
+
+Determinism rules used throughout (driver hashes values order-insensitively
+but exactly):
+- every aggregate/computed column is aliased identically on both sides;
+- money aggregates go through exact DECIMAL accumulation and are cast to
+  double only at the end (double summation order would differ between
+  engines/partitionings);
+- "keep first" semantics always carry an explicit total ordering;
+- dates are emitted as formatted strings (both engines read the parquet
+  timestamps as naive UTC; the Spark session is pinned to UTC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kbspark.contract import register
+
+_DEC = "decimal(18,4)"
+
+
+def _dsum(col):
+    """Exact decimal sum of a money column, emitted as double."""
+    return F.sum(F.col(col).cast(_DEC)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Headline TPC-H-style queries (bench + correctness)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,4))) *
+                    (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """A-family aggregation flagship (TPC-H Q1 shape): partial+final hash
+    agg, predicate pushdown to parquet (SURVEY §2.D, §4)."""
+    li = spark.table("lineitem")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.lit(1) - F.col("l_discount").cast(_DEC)
+    tax = F.lit(1) + F.col("l_tax").cast(_DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc * tax).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    WITH rev AS (
+      SELECT o.o_orderkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                      (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+             STRFTIME(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+             o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    )
+    SELECT o_orderkey, revenue, orderdate, o_orderpriority
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey ASC) rn FROM rev)
+    WHERE rn <= 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """Multi-join + agg + deterministic top-k (TPC-H Q3 shape)."""
+    c = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = spark.table("orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = spark.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.lit(1) - F.col("l_discount").cast(_DEC)
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+    w = W.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+@register(
+    "q5_local_supplier",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'REGION#1'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    """Six-way join with small-dim broadcast (TPC-H Q5 shape); the
+    nation/region/supplier sides broadcast, the orders⋈lineitem join is
+    the only real shuffle."""
+    c, o, l = spark.table("customer"), spark.table("orders"), spark.table("lineitem")
+    s, n, r = spark.table("supplier"), spark.table("nation"), spark.table("region")
+    price = F.col("l_extendedprice").cast(_DEC)
+    disc = F.lit(1) - F.col("l_discount").cast(_DEC)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "REGION#1")
+        .groupBy("n_name")
+        .agg(F.sum(price * disc).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.B projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_filter_pushdown",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    """,
+)
+def p1_filter_pushdown(spark, sf_dir):
+    """P1: predicate + column pruning pushed to the parquet scan
+    (reference pushes WHERE into SQLite scans, entities.py:34,107)."""
+    return (
+        spark.table("orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("totalprice"))
+    )
+
+
+@register(
+    "p2_prefix_suffix_filter",
+    oracle="""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name LIKE 'red%' AND p_name NOT LIKE '%bolt'
+    """,
+)
+def p2_prefix_suffix_filter(spark, sf_dir):
+    """P2: startswith/endswith predicates (reference drops 'Liste_'
+    prefixes and 'Begriffsklärung)' suffixes, entities.py:65,
+    ner.py:331-332)."""
+    p = spark.table("part")
+    return p.filter(
+        F.col("p_name").startswith("red") & ~F.col("p_name").endswith("bolt")
+    ).select("p_partkey", "p_name")
+
+
+@register(
+    "p3_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def p3_anti_join(spark, sf_dir):
+    """P3: anti-membership as left_anti join (reference's
+    ~index.isin(...) type-priority exclusion, entities.py:233-236)."""
+    c, o = spark.table("customer"), spark.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "p4_semi_join",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00')
+    """,
+)
+def p4_semi_join(spark, sf_dir):
+    """P4: inner-join-as-filter rendered as left_semi (reference filters
+    redirects to entity targets via merge, entities.py:118)."""
+    s = spark.table("supplier")
+    l = spark.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "p7_having_threshold",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+)
+def p7_having_threshold(spark, sf_dir):
+    """P7: selection by count threshold (reference's --min-count-per-doc,
+    ned.py:62-65)."""
+    return (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.C joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_broadcast_dim_join",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j1_broadcast_dim_join(spark, sf_dir):
+    """J1: dim⋈dim left join with broadcast (categorylinks⋈page,
+    entities.py:40-42)."""
+    n, r = spark.table("nation"), spark.table("region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+
+
+@register(
+    "j4_left_join_chain",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j4_left_join_chain(spark, sf_dir):
+    """J4: chained left joins (QID cross-language mapping chain,
+    wikipedia/entities.py:294-302)."""
+    c, n, r = spark.table("customer"), spark.table("nation"), spark.table("region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            _dsum("c_acctbal").alias("sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "j5_lookup_probe",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def j5_lookup_probe(spark, sf_dir):
+    """J5: fact-probe against a broadcast dimension — the Spark analog of
+    the reference's per-mention dict lookups (ner.py:100-114)."""
+    l, p = spark.table("lineitem"), spark.table("part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_items"), _dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.D aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a2_apriori_probs",
+    oracle="""
+    SELECT l_partkey AS target, COUNT(*) AS n_links,
+           COUNT(*) / (SELECT COUNT(*) FROM lineitem) AS proba
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def a2_apriori_probs(spark, sf_dir):
+    """A2: per-key link counts / total = a-priori probabilities — one
+    shuffle agg replacing the reference's N point queries
+    (wikipedia/entities.py:320-375)."""
+    li = spark.table("lineitem")
+    total = li.count()
+    return (
+        li.groupBy(F.col("l_partkey").alias("target"))
+        .agg(F.count("*").alias("n_links"))
+        .withColumn("proba", F.col("n_links") / F.lit(total).cast("double"))
+    )
+
+
+@register(
+    "a2_salted_apriori",
+    oracle="""
+    SELECT l_partkey AS target, COUNT(*) AS n_links,
+           COUNT(*) / (SELECT COUNT(*) FROM lineitem) AS proba
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def a2_salted_apriori(spark, sf_dir):
+    """A2 with explicit skew salting: pre-aggregate on (key, salt), then
+    final-aggregate on key (SURVEY §2.D A2; north_rule head-entity skew).
+    Must equal the unsalted result exactly — same oracle as
+    a2_apriori_probs."""
+    from kbspark.apriori import salted_count
+
+    li = spark.table("lineitem")
+    total = li.count()
+    counts = salted_count(li, key="l_partkey", n_salts=16)
+    return counts.select(
+        F.col("l_partkey").alias("target"),
+        F.col("n_links"),
+        (F.col("n_links") / F.lit(total).cast("double")).alias("proba"),
+    )
+
+
+@register(
+    "a3_dedup_keep_min",
+    oracle="""
+    SELECT o_custkey, o_orderstatus, MIN(o_orderkey) AS first_orderkey
+    FROM orders GROUP BY o_custkey, o_orderstatus
+    """,
+)
+def a3_dedup_keep_min(spark, sf_dir):
+    """A3: dedup-by-subset with a deterministic representative (the
+    reference's drop_duplicates keep-first, wikidata/entities.py:19,51 —
+    made order-explicit for distributed execution)."""
+    return (
+        spark.table("orders")
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.min("o_orderkey").alias("first_orderkey"))
+    )
+
+
+@register(
+    "a4_group_first_nonnull",
+    oracle="""
+    SELECT o_custkey,
+           MIN_BY(pri, o_orderkey) FILTER (WHERE pri IS NOT NULL) AS first_priority,
+           MIN_BY(big, o_orderkey) FILTER (WHERE big IS NOT NULL) AS first_bigprice
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             NULLIF(o_orderpriority, '1-URGENT') AS pri,
+             CASE WHEN o_totalprice > 50000 THEN o_totalprice END AS big
+      FROM orders
+    ) GROUP BY o_custkey
+    """,
+)
+def a4_group_first_nonnull(spark, sf_dir):
+    """A4: per-group first non-NULL per column in a defined order — the
+    canonicalization groupby('wikidata').first() (wikidata/entities.py:39,
+    pandas .first() skips NaN per column)."""
+    o = spark.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("pri"),
+        F.when(F.col("o_totalprice") > 50000, F.col("o_totalprice")).alias("big"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.expr("min_by(pri, o_orderkey) FILTER (WHERE pri IS NOT NULL)").alias(
+            "first_priority"
+        ),
+        F.expr("min_by(big, o_orderkey) FILTER (WHERE big IS NOT NULL)").alias(
+            "first_bigprice"
+        ),
+    )
+
+
+@register(
+    "a5_keep_first_ordered",
+    oracle="""
+    SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def a5_keep_first_ordered(spark, sf_dir):
+    """A5: ordered keep-first per key with NULLS LAST — the reference's
+    sort_values + drop_duplicates(keep='first') canonical-row pick
+    (wikidata/entities.py:49-53; pandas sorts NaT last)."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    return (
+        spark.table("orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@register(
+    "a6_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ',') AS statuses
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a6_collect_sorted(spark, sf_dir):
+    """A6: group-concat to (sorted) collection — the nested-list packing
+    analog (ner.py:191-195), emitted as a canonical string."""
+    return (
+        spark.table("orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            )
+        )
+    )
+
+
+@register(
+    "a8_dup_count_metric",
+    oracle="""
+    SELECT COUNT(*) AS n_dup_keys FROM (
+      SELECT l_orderkey, l_linenumber FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    )
+    """,
+)
+def a8_dup_count_metric(spark, sf_dir):
+    """A8: duplicate-key count as a data-quality metric (the reference's
+    'duplicated redirects should be zero' check,
+    wikipedia/entities.py:123)."""
+    dup = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    return dup.agg(F.count("*").alias("n_dup_keys"))
+
+
+# ---------------------------------------------------------------------------
+# §2.F sorts / splits / set ops / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o3_hash_split",
+    oracle="""
+    SELECT CASE WHEN SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4'
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer GROUP BY 1
+    """,
+)
+def o3_hash_split(spark, sf_dir):
+    """O3: deterministic hash-based train/test split — partitioning-stable
+    replacement for the reference's seeded permutation split
+    (ner.py:317,336-346; intentionally hash-based, SURVEY §2.F O3)."""
+    c = spark.table("customer").withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "4", "test"
+        ).otherwise("train"),
+    )
+    return c.groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
+
+
+@register(
+    "o4_union_by_name",
+    oracle="""
+    SELECT n_name, n_regionkey, extra, COUNT(*) AS n FROM (
+      (SELECT n_name, n_regionkey, NULL::VARCHAR AS extra FROM nation)
+      UNION ALL BY NAME
+      (SELECT n_name, 'flag' AS extra FROM nation WHERE n_nationkey < 10)
+    ) GROUP BY n_name, n_regionkey, extra
+    """,
+)
+def o4_union_by_name(spark, sf_dir):
+    """O4: union-by-name with missing columns → NULL (pandas
+    concat(sort=True) semantics, wikidata/entities.py:18,34)."""
+    n = spark.table("nation")
+    a = n.select("n_name", "n_regionkey")
+    b = n.filter(F.col("n_nationkey") < 10).select(
+        "n_name", F.lit("flag").alias("extra")
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .groupBy("n_name", "n_regionkey", "extra")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "o6_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice AS totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def o6_topk_per_group(spark, sf_dir):
+    """O6: deterministic top-k per group via window row_number."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        spark.table("orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("totalprice"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.E scalar extraction (SQL-expressible subset)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "e7_regex_extract",
+    oracle="""
+    SELECT c_custkey, REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_num
+    FROM customer
+    """,
+)
+def e7_regex_extract(spark, sf_dir):
+    """E7: regex column extraction (QID extraction
+    r'.*?(Q[0-9]+).*?', wikidata/entities.py:74)."""
+    return spark.table("customer").select(
+        "c_custkey", F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num")
+    )
+
+
+@register(
+    "e12_date_coercion",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(TRY_CAST(ds AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS coerced
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                  ELSE STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS ds
+      FROM orders
+    )
+    """,
+)
+def e12_date_coercion(spark, sf_dir):
+    """E12: lenient date parsing, failures → NULL (pandas
+    to_datetime(errors='coerce'), wikidata/entities.py:36-37)."""
+    o = spark.table("orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-date"))
+        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .alias("ds"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.try_to_timestamp(F.col("ds")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("coerced"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregation + sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w_tumbling_window",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def w_tumbling_window(spark, sf_dir):
+    """Tumbling time-window aggregation over the events table."""
+    return (
+        spark.table("events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "w_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def w_sessionize(spark, sf_dir):
+    """Sessionization: lag-gap > 30min starts a new session; cumulative
+    sum assigns session ids (OLAP-pattern sessionize; no reference analog
+    — training-pipeline addition)."""
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_secs = F.col("ts").cast("timestamp").cast("long")
+    lag_secs = F.lag(ts_secs).over(w)
+    gaps = spark.table("events").withColumn(
+        "new_session",
+        F.when(lag_secs.isNull() | (ts_secs - lag_secs > 30 * 60), 1).otherwise(0),
+    )
+    sess = gaps.withColumn(
+        "session_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))

@@ -1,0 +1,262 @@
+"""Training-data-pipeline operators over the documents/embeddings tables
+(driver contract entries; see also kbspark.textops / kbspark.simsearch
+for the reusable implementations these call)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kbspark.contract import register
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INT) AS n_tokens,
+           LENGTH(text) AS n_chars_actual
+    FROM documents
+    """,
+)
+def t_token_count(spark, sf_dir):
+    """Whitespace token counting + char length per document."""
+    return spark.table("documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "t_quality_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(LEN(words) AS INT) AS n_tokens,
+           CAST(LEN(LIST_FILTER(words, w -> w IN ('the', 'a'))) AS INT)
+             AS n_stopwords,
+           ROUND(LEN(LIST_FILTER(words, w -> w IN ('the', 'a')))
+                 / GREATEST(LEN(words), 1), 6) AS stopword_ratio,
+           ROUND(LEN(LIST_FILTER(words, w -> LENGTH(w) >= 6))
+                 / GREATEST(LEN(words), 1), 6) AS long_token_ratio
+    FROM toks
+    """,
+)
+def t_quality_score(spark, sf_dir):
+    """Document quality scoring: stopword ratio + long-token ratio
+    (length/punct/stopword heuristics family)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.size(F.filter(words, lambda w: w.isin("the", "a")))
+    longtok = F.size(F.filter(words, lambda w: F.length(w) >= 6))
+    denom = F.greatest(F.size(words), F.lit(1))
+    return spark.table("documents").select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_tokens"),
+        stop.alias("n_stopwords"),
+        F.round(stop / denom, 6).alias("stopword_ratio"),
+        F.round(longtok / denom, 6).alias("long_token_ratio"),
+    )
+
+
+@register(
+    "t_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def t_fingerprint(spark, sf_dir):
+    """Normalized-content fingerprint (whitespace-collapse + lowercase +
+    md5) — the exact-dedup key."""
+    return spark.table("documents").select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@register(
+    "t_exact_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def t_exact_dedup(spark, sf_dir):
+    """Exact deduplication: hash-groupBy on the content fingerprint,
+    deterministic survivor = min doc_id."""
+    fp = spark.table("documents").select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
+            "fingerprint"
+        ),
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+@register(
+    "t_langid_markers",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and')))
+                     > LEN(words) / 20.0
+                THEN 'en_like' ELSE 'other' END AS lang_guess
+    FROM toks
+    """,
+)
+def t_langid_markers(spark, sf_dir):
+    """Marker-word language heuristic (n-gram/stopword lang-ID family)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    en = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and")))
+    return spark.table("documents").select(
+        "doc_id",
+        "lang",
+        F.when(en > F.size(words) / F.lit(20.0), "en_like")
+        .otherwise("other")
+        .alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_SHINGLES_DUCK = """
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(
+               RANGE(1, GREATEST(LEN(words) - 1, 1)),
+               i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+             )) AS shingles
+      FROM (SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+            FROM documents)
+      WHERE LEN(words) >= 3
+"""
+
+
+@register(
+    "t_minhash_signature",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    exploded AS (
+      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ),
+    hashed AS (
+      SELECT doc_id, h, MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM exploded, (SELECT UNNEST(RANGE(0, 8)) AS h)
+      GROUP BY doc_id, h
+    )
+    SELECT doc_id, CAST(h AS INT) AS band, minhash FROM hashed
+    """,
+)
+def t_minhash_signature(spark, sf_dir):
+    """MinHash signatures over 3-word shingles: 8 hash families realized
+    as md5(family_id || shingle); min per (doc, family). Deterministic and
+    engine-portable (md5 on both sides). Scale path: explode+groupBy is
+    partial-aggregated map-side; no driver-side state."""
+    from kbspark.textops import minhash_signatures
+
+    return minhash_signatures(spark.table("documents"), n_hashes=8)
+
+
+@register(
+    "t_lsh_near_dup_pairs",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_DUCK}),
+    exploded AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
+    hashed AS (
+      SELECT doc_id, h, MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
+      FROM exploded, (SELECT UNNEST(RANGE(0, 8)) AS h)
+      GROUP BY doc_id, h
+    ),
+    bands AS (
+      SELECT doc_id, h // 4 AS band_id,
+             STRING_AGG(minhash, '|' ORDER BY h) AS band_key
+      FROM hashed GROUP BY doc_id, h // 4
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    jac AS (
+      SELECT p.doc_a, p.doc_b,
+             ROUND(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) * 1.0 /
+                   LEN(LIST_DISTINCT(sa.shingles || sb.shingles)), 6) AS jaccard
+      FROM pairs p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def t_lsh_near_dup_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs: band the 8-value signature into
+    2 bands of 4, bucket-join on band key (candidate pairs only — never
+    the O(n^2) cross join), then verify candidates with exact shingle
+    Jaccard >= 0.5."""
+    from kbspark.textops import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(
+        spark.table("documents"), n_hashes=8, n_bands=2, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s_knn_bruteforce",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(q.emb, e.embedding::DOUBLE[]) /
+             (SQRT(LIST_DOT_PRODUCT(q.emb, q.emb)) *
+              SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))) AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def s_knn_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the query set against the
+    corpus, JVM-side float math (zip_with/aggregate), deterministic
+    tiebreak. The baseline ANN path."""
+    from kbspark.simsearch import knn_bruteforce
+
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return knn_bruteforce(queries, emb, k=5, round_to=4)

@@ -1,0 +1,106 @@
+"""Redirect resolution (SURVEY.md §2 J2/J3; reference
+qurator/wikipedia/entities.py:89-127 and redirects2entities :144-188).
+
+get_redirects semantics, step by step:
+ 1. scan redirect(rd_title, rd_from) and page(page_title, page_id, ns=0)
+ 2. J2: redirect ⋈ page on rd_from = page_id -> rd_from_title
+ 3. J3: keep only redirects whose TARGET is an entity (inner join against
+    the entity dictionary on rd_title = page_title), carrying the entity
+    payload
+ 4. metric: duplicated rd_from_title count "should be zero"
+    (entities.py:123) — emitted as a metrics row, not a print
+ 5. dedup keep-first on rd_from_title (entities.py:125)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def get_redirects(
+    entities: DataFrame, redirect: DataFrame, page: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (redirects, dup_metric_df).
+
+    ``entities``: canonical dictionary keyed by page_title.
+    ``redirect``: (rd_from:int, rd_title:str); ``page``: (page_id:int,
+    page_title:str, page_namespace:int).
+
+    Output ``redirects``: one row per redirect source page whose target is
+    an entity — (rd_from_title, rd_title, TYPE, QID, page_title...).
+    """
+    page0 = page.filter(F.col("page_namespace") == 0).select(
+        "page_id", F.col("page_title").alias("rd_from_title")
+    )
+    # J2: attach source title (entities.py:114-115)
+    r = redirect.join(page0, redirect.rd_from == page0.page_id, "inner").drop(
+        "page_id"
+    )
+    # J3: only redirects targeting an entity (entities.py:118-121)
+    r = r.join(
+        F.broadcast(entities), r.rd_title == entities.page_title, "inner"
+    )
+    dup_metric = (
+        r.groupBy("rd_from_title")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("n_duplicated_redirects"))
+    )
+    # keep-first per source title (entities.py:125) — deterministic order
+    w = W.partitionBy("rd_from_title").orderBy(F.col("rd_title").asc())
+    r = r.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop(
+        "_rn"
+    )
+    return r, dup_metric
+
+
+def redirects_to_entities(entities: DataFrame, redirects: DataFrame) -> DataFrame:
+    """The reference's redirects2entities (entities.py:144-188): resolve
+    every entity title through the redirect map; redirect sources whose
+    target is itself an entity are dropped (the target row already covers
+    them); non-redirected titles pass through.
+
+    Reference iterates rows; here it's one left join + the same three
+    cases as relational predicates.
+    """
+    r = redirects.select(
+        F.col("rd_from_title"), F.col("rd_title").alias("redirect_target")
+    )
+    joined = entities.select("page_title", "TYPE").join(
+        r, entities.page_title == r.rd_from_title, "left"
+    )
+    # case 1: not a redirect source -> keep as-is
+    keep = joined.filter(F.col("redirect_target").isNull()).select(
+        "page_title", "TYPE"
+    )
+    # case 2: redirect source whose target is NOT an entity -> emit target
+    # with the source's TYPE (entities.py:179-184)
+    redirected = joined.filter(F.col("redirect_target").isNotNull()).select(
+        F.col("redirect_target").alias("page_title"), "TYPE"
+    )
+    target_not_entity = redirected.join(
+        entities.select("page_title"), "page_title", "left_anti"
+    )
+    out = keep.unionByName(target_not_entity)
+    w = W.partitionBy("page_title").orderBy(F.col("TYPE").asc())
+    return out.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+def redirect_dict(redirects: DataFrame) -> dict[str, str]:
+    """Collect the (source -> target) map for broadcast into the extract
+    stages (dictionary-sized, like the reference's worker-shipped frame,
+    ner.py:292-293)."""
+    return {
+        row["rd_from_title"]: row["rd_title"]
+        for row in redirects.select("rd_from_title", "rd_title").collect()
+    }
+
+
+def entity_type_dict(entities: DataFrame) -> dict[str, str]:
+    """Collect the (page_title -> TYPE) map for broadcast."""
+    return {
+        row["page_title"]: row["TYPE"]
+        for row in entities.select("page_title", "TYPE").collect()
+    }

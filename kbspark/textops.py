@@ -1,0 +1,218 @@
+"""Training-data-pipeline text operators (dedup families, shingling).
+
+All JVM-side (built-in functions, whole-stage codegen); no Python in the
+hot path. The md5-based hash families make every operator deterministic
+and engine-portable (the DuckDB oracles compute the identical values).
+
+Scale notes (100 TB corpus):
+- shingling + minhash is explode → two-phase hash agg; partial (map-side)
+  aggregation bounds shuffle volume at n_docs × n_hashes rows regardless
+  of document length;
+- LSH banding turns near-dup search into an equi-join on band keys —
+  candidate pairs only, never an O(n²) cross join; hot buckets (boiler-
+  plate docs) are bounded by ``max_bucket`` to keep the pair join skew-safe;
+- exact-Jaccard verification joins shingle sets only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, shingles array) — distinct n-word shingles per document.
+    Documents with fewer than n words are dropped (no shingles)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = F.col("_w")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(F.size("_w") >= n)
+        .select("doc_id", sh.alias("shingles"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """MinHash signature rows (doc_id, band, minhash): per document and
+    hash family h ∈ [0, n_hashes), min over shingles of
+    md5('<h>:<shingle>'). Two-phase agg with map-side partials."""
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=shingle_n)
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    families = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
+    hashed = exploded.select(
+        "doc_id",
+        families,
+        "shingle",
+    ).select(
+        "doc_id",
+        "h",
+        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))).alias(
+            "hv"
+        ),
+    )
+    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash")).select(
+        "doc_id", F.col("h").cast("int").alias("band"), "minhash"
+    )
+
+
+def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
+                       threshold: float = 0.5, shingle_n: int = 3,
+                       max_bucket: int | None = None) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
+    threshold). Bands of n_hashes/n_bands values form bucket keys; docs
+    sharing any bucket become candidates; candidates are verified with
+    exact shingle Jaccard.
+
+    ``max_bucket`` (scale knob): drop LSH buckets larger than this before
+    the self-join — at web scale a boilerplate bucket with 10^6 members
+    would otherwise create 10^12 candidate pairs.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(docs, n_hashes=n_hashes, shingle_n=shingle_n)
+    bands = (
+        sig.withColumn("band_id", (F.col("band") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("band", "minhash"))),
+                    lambda x: x["minhash"],
+                ),
+                "|",
+            ).alias("band_key")
+        )
+    )
+    if max_bucket is not None:
+        wcnt = W.partitionBy("band_id", "band_key")
+        bands = bands.withColumn("_bn", F.count("*").over(wcnt)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh = shingles(docs, n=shingle_n)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    jac = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_distinct(F.concat("sh_a", "sh_b"))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document, represented as a 64-char '0'/'1'
+    string (engine-portable; bit b of xxhash64(token) votes ±1, signature
+    bit = sign of the vote sum). Explode to (doc, bit, vote) rows → two
+    hash aggs; both partial-aggregate map-side."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+    tok = tok.withColumn("hv", F.xxhash64("w"))
+    votes = F.array(
+        *[
+            F.when(
+                F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))
+            for b in range(64)
+        ]
+    )
+    lanes = tok.select(
+        "doc_id", F.posexplode(votes).alias("bit", "vote")
+    )
+    sums = lanes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    sig = sums.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bit", "v"))),
+                lambda x: F.when(x["v"] > 0, F.lit("1")).otherwise(F.lit("0")),
+            ),
+            "",
+        ).alias("simhash")
+    )
+    return sig
+
+
+def _hamming_str(a, b):
+    """Hamming distance between equal-length bit strings — JVM-side."""
+    return F.aggregate(
+        F.zip_with(
+            F.split(a, "(?!^)"),
+            F.split(b, "(?!^)"),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: block on 4 16-bit signature substrings (a
+    pair within Hamming distance 3 shares at least one block —
+    pigeonhole), equi-join on block key (never a cross join), verify with
+    exact Hamming distance."""
+    sig = simhash64(docs)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.substring("simhash", i * 16 + 1, 16).alias("block_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", F.col("blk.block_id").alias("block_id"),
+             F.col("blk.block_key").alias("block_key"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        _hamming_str(F.col("sig_a"), F.col("sig_b")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,116 @@
+"""Canonicalized triple materialization (north_star output shape;
+FIXTURES.md §9).
+
+Emits ``(subj, pred, obj, src_url, warc_ts)`` rows from the mention table
+and the entity dimension tables, mirroring the relationships the reference
+stores across its SQLite KB tables (entities / links / entity_linking):
+
+- ``(page_url, 'mentions', QID)``       — one per resolved entity mention
+  (the reference's `links` occurrences, wikipedia/entities.py:330,363)
+- ``(QID, 'instance_of', TYPE)``        — entity typing
+  (TYPE string per wikidata/entities.py:69-70)
+- ``(QID, 'sitelink', sitelink)``       — sitelinks table
+- ``(QID, 'label', label)``             — labels
+- ``(alias_title, 'redirects_to', title)`` — the alias/redirect edges
+  (wikipedia/entities.py:89-127)
+
+Scale notes: the mention→entity join broadcasts the entity dimension
+(dictionary-sized, ~10^6 rows — same object the reference ships to every
+worker); triple dedup is the one wide operation and pre-aggregates
+map-side via groupBy count (partial aggregation) before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def qid_col(title_col: str = "page_title"):
+    """Deterministic synthetic QID for corpora without real Wikidata ids:
+    'Q' + decimal(md5 prefix). Stable across engines and partitionings."""
+    return F.concat(
+        F.lit("Q"), F.conv(F.substring(F.md5(F.col(title_col)), 1, 6), 16, 10)
+    )
+
+
+def entity_dim_df(spark, entity_types: dict[str, str]) -> DataFrame:
+    """Broadcastable entity dimension from a title->TYPE dict."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"page_title": list(entity_types.keys()), "TYPE": list(entity_types.values())}
+    )
+    if pdf.empty:
+        pdf = pd.DataFrame({"page_title": pd.Series(dtype="object"),
+                            "TYPE": pd.Series(dtype="object")})
+    return spark.createDataFrame(pdf).withColumn("QID", qid_col())
+
+
+def mention_triples(mentions: DataFrame, entity_dim: DataFrame) -> DataFrame:
+    """Resolved mentions -> (url, 'mentions', QID) triples with an
+    occurrence count. Broadcast join (dim side is dictionary-sized);
+    dedup happens as a count aggregation so the shuffle carries
+    pre-combined partial rows, not raw mentions."""
+    return (
+        mentions.filter(F.col("entity_type") != "O")
+        .join(F.broadcast(entity_dim), "page_title")
+        .groupBy(
+            F.col("url").alias("subj"),
+            F.lit("mentions").alias("pred"),
+            F.col("QID").alias("obj"),
+        )
+        .agg(F.count("*").alias("n_occurrences"))
+        .withColumn("src_url", F.col("subj"))
+    )
+
+
+def entity_triples(entity_dim: DataFrame) -> DataFrame:
+    """(QID, 'instance_of', TYPE) per dictionary entry."""
+    return entity_dim.select(
+        F.col("QID").alias("subj"),
+        F.lit("instance_of").alias("pred"),
+        F.col("TYPE").alias("obj"),
+        F.lit(1).cast("long").alias("n_occurrences"),
+        F.col("page_title").alias("src_url"),
+    )
+
+
+def redirect_triples(spark, redirect_targets: dict[str, str]) -> DataFrame:
+    """(alias, 'redirects_to', target) per redirect edge."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "subj": list(redirect_targets.keys()),
+            "obj": list(redirect_targets.values()),
+        }
+    )
+    if pdf.empty:
+        pdf = pd.DataFrame({"subj": pd.Series(dtype="object"),
+                            "obj": pd.Series(dtype="object")})
+    return spark.createDataFrame(pdf).select(
+        "subj",
+        F.lit("redirects_to").alias("pred"),
+        "obj",
+        F.lit(1).cast("long").alias("n_occurrences"),
+        F.col("subj").alias("src_url"),
+    )
+
+
+def build_triples(
+    spark,
+    mentions: DataFrame,
+    entity_types: dict[str, str],
+    redirect_targets: dict[str, str],
+) -> DataFrame:
+    """Union of all triple families, one row per (subj, pred, obj)."""
+    dim = entity_dim_df(spark, entity_types)
+    parts = [
+        mention_triples(mentions, dim),
+        entity_triples(dim),
+        redirect_triples(spark, redirect_targets),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("subj", "pred", "obj", "n_occurrences", "src_url")

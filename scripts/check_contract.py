@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
+at sf0.01, compare row count + column names + order-insensitive values.
+
+Usage: python scripts/check_contract.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        if v.is_integer():
+            return str(int(v))
+        return repr(round(v, 9))
+    return str(v)
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon_cell(r[i]) for i in order) for r in rows)
+
+
+def main(selected: list[str]):
+    import __spark_entry__ as entry_mod
+    from kbspark.session import get_spark
+
+    spark = get_spark(app="contract-check", cpus=8, shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = selected or list(queries)
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, SF_DIR)
+            spark_pdf = sdf.toPandas()
+            spark_cols = list(spark_pdf.columns)
+            spark_rows = list(spark_pdf.itertuples(index=False, name=None))
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ok    {name}: rows-only, {len(spark_rows)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            if len(spark_rows) == 0:
+                print(f"WARN  {name}: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+        ok = True
+        if sorted(spark_cols) != sorted(duck_cols):
+            ok = False
+            print(f"FAIL  {name}: columns spark={sorted(spark_cols)} "
+                  f"duck={sorted(duck_cols)}")
+        elif len(spark_rows) != len(duck_rows):
+            ok = False
+            print(f"FAIL  {name}: rowcount spark={len(spark_rows)} "
+                  f"duck={len(duck_rows)}")
+        else:
+            a = canon_rows(spark_cols, spark_rows)
+            b = canon_rows(duck_cols, duck_rows)
+            if a != b:
+                ok = False
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                print(f"FAIL  {name}: value mismatch; first diffs: {diff}")
+        if ok:
+            print(f"ok    {name}: {len(spark_rows)} rows match "
+                  f"({time.time()-t0:.1f}s)")
+        else:
+            failures.append(name)
+
+    print(f"\n{len(names) - len(failures)}/{len(names)} pass")
+    if failures:
+        print("failures:", failures)
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

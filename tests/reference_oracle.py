@@ -1,0 +1,54 @@
+"""Load reference functions from /root/reference SOURCE TEXT as test
+oracles, without importing the reference modules (their imports — somajo,
+click, tqdm, qurator.utils — are not installed here, and we must not copy
+reference code into this repo).
+
+We parse the module with ``ast``, extract only the named pure function,
+and exec it in a minimal namespace. The byte-identity invariant
+(BASELINE.json input_hint) is then checked by running the reference's own
+``clean_text`` side-by-side with ours.
+"""
+
+from __future__ import annotations
+
+import ast
+import logging
+import re
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def load_reference_function(rel_path: str, func_name: str, extra_ns=None):
+    path = f"{REFERENCE_ROOT}/{rel_path}"
+    with open(path, encoding="utf-8") as f:
+        source = f.read()
+    tree = ast.parse(source)
+    func = next(
+        node
+        for node in tree.body
+        if isinstance(node, ast.FunctionDef) and node.name == func_name
+    )
+    module = ast.Module(body=[func], type_ignores=[])
+    code = compile(module, filename=path, mode="exec")
+    ns: dict = {
+        "re": re,
+        "logger": logging.getLogger("reference_oracle"),
+        "types": types,
+    }
+    if extra_ns:
+        ns.update(extra_ns)
+    exec(code, ns)
+    return ns[func_name]
+
+
+def reference_clean_text():
+    """The reference's clean_text (qurator/wikipedia/ner.py:30-76),
+    exec'd from its own source — THE oracle for E1 byte-identity."""
+    return load_reference_function("qurator/wikipedia/ner.py", "clean_text")
+
+
+def reference_tokenize_links():
+    """qurator/wikipedia/ner.py:79-120; needs a pandas-indexed entity
+    frame. Returns the raw function; tests build the inputs."""
+    return load_reference_function("qurator/wikipedia/ner.py", "tokenize_links")
