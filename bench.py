@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship KG pipeline + representative
+operator queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Per-query time is wall clock around a full materialization (count of the
+final DataFrame — forces the whole plan, no driver collect of payloads).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "kg_triples",
+    "kg_mentions",
+    "kg_tagged_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "a2_salted_apriori",
+    "a1_graph_closure",
+    "t_lsh_near_dup_pairs",
+    "t_simhash_near_dups",
+    "s_knn_bruteforce",
+    "w_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from kbspark.session import get_spark
+
+    spark = get_spark(app="kbspark-bench", cpus=cpus, shuffle_partitions=cpus)
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # warm the JVM/Arrow path once so per-query numbers measure the
+    # queries, not interpreter startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        counts[name] = df.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+
+    # throughput facts from the flagship triple build
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    kg_secs = timings["kg_triples"]
+    n_triples = counts["kg_triples"]
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": counts,
+        "docs_per_sec": round(n_docs / kg_secs, 1) if kg_secs else None,
+        "triples_per_sec": round(n_triples / kg_secs, 1) if kg_secs else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

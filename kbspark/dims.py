@@ -206,11 +206,14 @@ def build_entities(
     )
 
     # dedup page_title keep-first in current (sorted) order
-    # (entities.py:72: ~index.duplicated() after set_index + sort state)
+    # (entities.py:72: ~index.duplicated() after set_index). Row order at
+    # that point is (dateofbirth, inception) ascending NaT-last with ties
+    # in post-groupby order — and pandas groupby SORTS by key, so the tie
+    # order is wikidata ascending, not concat order.
     wt = W.partitionBy("page_title").orderBy(
         F.col("dateofbirth").asc_nulls_last(),
         F.col("inception").asc_nulls_last(),
-        F.col("_ord").asc(),
+        F.col("wikidata").asc(),
     )
     ent = ent.withColumn("_rn", F.row_number().over(wt)).filter(
         F.col("_rn") == 1

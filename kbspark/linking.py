@@ -1,0 +1,210 @@
+"""E8-E10 — native candidate generation + entity-link scoring
+(SURVEY.md §2.E; replaces the reference's two HTTP boundaries,
+ned.py:55-83, with in-engine stages — the north_star forbids external
+services in the hot path).
+
+Dataflow (reference trace §3.3):
+
+1. mention spans: consecutive B-/I- tagged tokens inside a sentence of
+   the `tagged` table become one mention (the /parse analog, E9). Runs in
+   the same Arrow batch as the tagged rows — zero shuffle.
+2. candidates: normalized mention surface probed against the broadcast
+   alias dictionary (labels + titles + redirects; E8 gazetteer).
+3. scoring: proba_1 = a-priori link probability (A2) blended with a
+   context-similarity term (token-overlap Jaccard between the mention's
+   sentence and the candidate title) — E10.
+4. ranking: Window per entity_id, descending score; threshold 0.01
+   (ned.py:68); mentions with no candidate emit the reference's sentinel
+   row page_title='-', wikidata='-', proba=0.0 (ned.py:81).
+
+Output schema mirrors the reference's entity_linking DDL (ned.py:32-34):
+(entity_id, page_title, wikidata, proba, on_page_id, on_page, gt).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+MENTION_SCHEMA = (
+    "on_page_id string, on_page string, entity_id string, surface string, "
+    "etype string, gt string, context string"
+)
+
+
+def mention_spans(tagged: DataFrame) -> DataFrame:
+    """Group consecutive B-/I- tokens into mention spans (E9).
+
+    ``tagged``: (url, page_title, text, tags, link_titles) with
+    array<array<string>> columns. entity_id = '<surface>-<TYPE>-<n>' with
+    n the per-page mention ordinal (stable, deterministic). gt = the
+    ground-truth link title carried by the B- token (the reference's
+    self-labeling trick, ned.py:50-53/88-90)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, page_title, text, tags, links in zip(
+                pdf["url"], pdf["page_title"], pdf["text"], pdf["tags"],
+                pdf["link_titles"],
+            ):
+                ordinal = 0
+                for sen_toks, sen_tags, sen_links in zip(text, tags, links):
+                    current = None  # (surface_tokens, etype, gt)
+                    sentence = " ".join(sen_toks)
+                    spans = []
+                    for tok, tag, link in zip(sen_toks, sen_tags, sen_links):
+                        if tag.startswith("B-"):
+                            if current:
+                                spans.append(current)
+                            current = ([tok], tag[2:], link)
+                        elif tag.startswith("I-") and current:
+                            current[0].append(tok)
+                        else:
+                            if current:
+                                spans.append(current)
+                                current = None
+                    if current:
+                        spans.append(current)
+                    for toks, etype, gt in spans:
+                        surface = " ".join(toks)
+                        rows.append(
+                            (url, page_title,
+                             f"{surface}-{etype}-{ordinal}", surface, etype,
+                             gt, sentence)
+                        )
+                        ordinal += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["on_page_id", "on_page", "entity_id", "surface",
+                         "etype", "gt", "context"],
+            )
+
+    return tagged.mapInPandas(run, schema=MENTION_SCHEMA)
+
+
+def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame) -> DataFrame:
+    """Anchor-text dictionary (E8): corpus-observed (surface -> target)
+    link pairs with P(target | surface) — the Wikipedia-anchor analog of
+    the reference's a-priori link statistics (its `links` table,
+    entities.py:330/363, keyed by surface instead of target).
+
+    ``mentions``: output of kbspark.extract.mention_stage.
+    ``entity_dim``: (page_title, QID, TYPE[, wikidata]) dictionary.
+    Returns (alias, page_title, QID, TYPE, proba) where proba is the
+    per-surface target probability. Two-phase agg; skew-safe (counts)."""
+    pairs = (
+        mentions.filter(F.col("entity_type") != "O")
+        .select(
+            F.replace(F.col("surface"), F.lit(" "), F.lit("_")).alias("alias"),
+            "page_title",
+        )
+        .groupBy("alias", "page_title")
+        .agg(F.count("*").alias("n"))
+    )
+    w_tot = W.partitionBy("alias")
+    scored = pairs.withColumn(
+        "proba", F.round(F.col("n") / F.sum("n").over(w_tot), 6)
+    )
+    return scored.join(F.broadcast(entity_dim), "page_title").select(
+        "alias", "page_title", "QID", "TYPE", "proba"
+    )
+
+
+def _token_jaccard(a, b):
+    """Jaccard of whitespace/underscore token sets — JVM-side."""
+    ta = F.array_distinct(F.split(F.lower(a), r"[\s_]+"))
+    tb = F.array_distinct(F.split(F.lower(b), r"[\s_]+"))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def link_entities(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    threshold: float = 0.01,
+    context_weight: float = 0.5,
+) -> DataFrame:
+    """E10 scoring + ranking. ``aliases``: broadcastable dictionary with
+    (alias, page_title, QID, TYPE, proba). Returns the reference-shaped
+    entity_linking table including sentinel rows and a rank column."""
+    norm_surface = F.replace(F.col("surface"), F.lit(" "), F.lit("_"))
+    cand = mentions.withColumn("_alias", norm_surface).join(
+        F.broadcast(aliases.withColumnRenamed("alias", "_alias")),
+        "_alias",
+        "left",
+    )
+
+    matched = cand.filter(F.col("page_title").isNotNull())
+    scored = matched.withColumn(
+        "proba",
+        F.round(
+            (1 - context_weight) * F.coalesce(F.col("proba"), F.lit(0.0))
+            + context_weight * _token_jaccard(F.col("context"), F.col("page_title")),
+            6,
+        ),
+    )
+    w = W.partitionBy("on_page_id", "entity_id").orderBy(
+        F.col("proba").desc(), F.col("page_title").asc()
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("proba") >= threshold)
+        .select(
+            "entity_id",
+            "page_title",
+            F.coalesce(F.col("wikidata"), F.col("QID")).alias("wikidata"),
+            "proba",
+            "on_page_id",
+            "on_page",
+            "gt",
+            "rank",
+        )
+    )
+
+    # sentinel rows for mentions with no surviving candidate (ned.py:81)
+    satisfied = ranked.select("on_page_id", "entity_id").distinct()
+    unmatched = (
+        mentions.join(satisfied, ["on_page_id", "entity_id"], "left_anti")
+        .select(
+            "entity_id",
+            F.lit("-").alias("page_title"),
+            F.lit("-").alias("wikidata"),
+            F.lit(0.0).alias("proba"),
+            "on_page_id",
+            "on_page",
+            "gt",
+            F.lit(1).alias("rank"),
+        )
+    )
+    return ranked.unionByName(unmatched)
+
+
+def linking_quality(el: DataFrame) -> DataFrame:
+    """Precision/recall of rank-1 links against the self-labeling ground
+    truth (gt) — the P/R >= 0.95 gate's measurement query."""
+    top = el.filter(F.col("rank") == 1)
+    return top.agg(
+        F.count("*").alias("n_mentions"),
+        F.sum(
+            F.when(
+                (F.col("page_title") != "-")
+                & (F.col("page_title") == F.col("gt")),
+                1,
+            ).otherwise(0)
+        ).alias("n_correct"),
+        F.sum(F.when(F.col("page_title") != "-", 1).otherwise(0)).alias(
+            "n_predicted"
+        ),
+        F.sum(F.when(F.col("gt") != "", 1).otherwise(0)).alias("n_labeled"),
+    ).select(
+        "n_mentions",
+        "n_correct",
+        "n_predicted",
+        "n_labeled",
+        F.round(F.col("n_correct") / F.col("n_predicted"), 6).alias("precision"),
+        F.round(F.col("n_correct") / F.col("n_labeled"), 6).alias("recall"),
+    )

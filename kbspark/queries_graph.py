@@ -176,4 +176,6 @@ def s_knn_lsh(spark, sf_dir):
     from kbspark.simsearch import knn_lsh
 
     emb = spark.table("embeddings")
-    return knn_lsh(emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=6, dim=64)
+    return knn_lsh(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4, n_tables=6, dim=64
+    )

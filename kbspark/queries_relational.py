@@ -134,7 +134,7 @@ def q3_shipping_priority(spark, sf_dir):
     JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
     JOIN nation n   ON s.s_nationkey = n.n_nationkey
     JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'REGION#1'
+    WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
     """,
 )
@@ -155,7 +155,7 @@ def q5_local_supplier(spark, sf_dir):
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name") == "REGION#1")
+        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(F.sum(price * disc).cast("double").alias("revenue"))
     )

@@ -88,35 +88,55 @@ def _hyperplane_sign(vec_col, plane_id: int, dim: int):
 
 
 def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
-            n_planes: int = 8, dim: int = 64,
+            n_planes: int = 4, n_tables: int = 8, dim: int = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",
             round_to: int | None = 4) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane bucket join + exact
-    re-rank within buckets. Recall < 1 by design (ANN); at scale replaces
-    the broadcast cross product with an equi-join on the sign pattern."""
+    """Approximate cosine top-k: multi-table random-hyperplane LSH.
+    Each of ``n_tables`` tables buckets on a ``n_planes``-bit sign
+    pattern; candidates = pairs sharing any table bucket; exact re-rank
+    on candidates. Recall < 1 by design (ANN); at scale this replaces the
+    broadcast cross product with equi-joins on (table, signature)."""
 
-    def with_bucket(df, id_alias, emb_alias):
+    def with_buckets(df, id_alias, emb_alias):
         v = _as_double(F.col(vec_col))
-        sig = F.concat_ws(
-            "", *[_hyperplane_sign(v, p, dim).cast("string") for p in range(n_planes)]
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    F.concat_ws(
+                        "",
+                        *[
+                            _hyperplane_sign(v, t * n_planes + p, dim).cast("string")
+                            for p in range(n_planes)
+                        ],
+                    ).alias("sig"),
+                )
+                for t in range(n_tables)
+            ]
         )
         return df.select(
-            F.col(id_col).alias(id_alias), v.alias(emb_alias), sig.alias("bucket")
+            F.col(id_col).alias(id_alias), v.alias(emb_alias),
+            F.explode(tables).alias("b"),
+        ).select(
+            id_alias, emb_alias,
+            F.col("b.table").alias("table"), F.col("b.sig").alias("sig"),
         )
 
-    q = with_bucket(queries, "query_id", "q_emb")
-    c = with_bucket(corpus, "neighbor_id", "c_emb")
-    scored = (
-        q.join(c, "bucket")
+    q = with_buckets(queries, "query_id", "q_emb")
+    c = with_buckets(corpus, "neighbor_id", "c_emb")
+    cand = (
+        q.join(c, ["table", "sig"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _dot(F.col("q_emb"), F.col("c_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
-            ).alias("cos"),
-        )
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        ).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""One cold end-to-end pipeline run for the scaling protocol
+(BASELINE.md §3): pages parquet → E1 clean + E2 mention extraction
+(Arrow-batched, broadcast dims) → canonicalized triples → count.
+
+Prints one JSON line with pipeline-only seconds and throughput.
+Run via subprocess per parallelism level so each measurement is a fresh
+JVM (cold), as the protocol requires.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--input", required=True, help="pages parquet dir")
+    ap.add_argument("--n-entities", type=int, default=200)
+    args = ap.parse_args()
+
+    from kbspark.corpus import synth_dims
+    from kbspark.extract import mention_stage
+    from kbspark.session import get_spark
+    from kbspark.triples import build_triples
+
+    spark = get_spark(
+        app=f"scaling-{args.cpus}", cpus=args.cpus,
+        shuffle_partitions=args.cpus * 2,
+    )
+
+    pages = spark.read.parquet(args.input)
+    n_docs = pages.count()  # warms the scan metadata; counted separately
+
+    entity_types, redirect_targets = synth_dims(n_entities=args.n_entities)
+
+    t0 = time.time()
+    mentions = mention_stage(pages, spark, entity_types, redirect_targets)
+    triples = build_triples(spark, mentions, entity_types, redirect_targets)
+    n_triples = triples.count()
+    secs = time.time() - t0
+
+    print(
+        json.dumps(
+            {
+                "cpus": args.cpus,
+                "n_docs": n_docs,
+                "n_triples": n_triples,
+                "pipeline_secs": round(secs, 3),
+                "docs_per_sec": round(n_docs / secs, 1),
+                "triples_per_sec": round(n_triples / secs, 1),
+                "shuffle_partitions": args.cpus * 2,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

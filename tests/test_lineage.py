@@ -1,0 +1,81 @@
+"""D3 — per-partition lineage + exact resume: kill mid-job, rerun,
+assert value-identical output with no duplicate appends (SURVEY §5.5)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kbspark.catalog import Catalog
+from kbspark.lineage import completed_buckets, run_stage, stage_metrics
+
+
+def _input(spark, n=500):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"url": [f"u{i}" for i in range(n)], "value": list(range(n))}
+        )
+    )
+
+
+def _transform(df):
+    return df.withColumn("doubled", F.col("value") * 2)
+
+
+def test_full_run_and_metrics(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    res = run_stage(cat, "double", _input(spark), _transform, "out",
+                    n_buckets=8, buckets_per_commit=3)
+    assert sorted(res["ran"]) == list(range(8))
+    out = cat.read("out")
+    assert out.count() == 500
+    m = stage_metrics(cat, "out", "double")
+    assert sum(r["n_rows"] for r in m) == 500
+    assert res["commits"] == 3  # ceil(8/3)
+
+
+def test_kill_and_exact_resume(spark, tmp_path):
+    cat_a = Catalog(spark, str(tmp_path / "a"))
+    inp = _input(spark)
+    # uninterrupted reference run
+    run_stage(cat_a, "double", inp, _transform, "out", n_buckets=8,
+              buckets_per_commit=2)
+    golden = sorted(
+        map(tuple, cat_a.read("out").select("url", "value", "doubled").collect())
+    )
+
+    # killed run: fault injection after 2 of 4 commits
+    cat_b = Catalog(spark, str(tmp_path / "b"))
+    with pytest.raises(RuntimeError, match="fault injection"):
+        run_stage(cat_b, "double", inp, _transform, "out", n_buckets=8,
+                  buckets_per_commit=2, fail_after_commits=2)
+    done_after_crash = completed_buckets(cat_b, "out", "double")
+    assert 0 < len(done_after_crash) < 8
+
+    # resume: only pending buckets run; no duplicates; identical values
+    res = run_stage(cat_b, "double", inp, _transform, "out", n_buckets=8,
+                    buckets_per_commit=2)
+    assert set(res["skipped"]) == done_after_crash
+    assert set(res["ran"]).isdisjoint(done_after_crash)
+    resumed = sorted(
+        map(tuple, cat_b.read("out").select("url", "value", "doubled").collect())
+    )
+    assert resumed == golden
+
+
+def test_resume_noop_when_complete(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    inp = _input(spark, n=100)
+    run_stage(cat, "double", inp, _transform, "out", n_buckets=4)
+    res = run_stage(cat, "double", inp, _transform, "out", n_buckets=4)
+    assert res["ran"] == [] and res["commits"] == 0
+    assert cat.read("out").count() == 100
+
+
+def test_catalog_atomic_overwrite(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.append("t", _input(spark, 10))
+    cat.append("t", _input(spark, 5))
+    assert cat.row_count("t") == 15
+    cat.overwrite("t", _input(spark, 3))
+    assert cat.row_count("t") == 3
+    assert cat.read("t").count() == 3

@@ -1,0 +1,123 @@
+"""E8-E10 entity linking: mention-span grouping, candidate scoring,
+sentinel rows, and P/R >= 0.95 on the synthetic corpus (the BASELINE.json
+gate, measured with the reference's self-labeling gt)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kbspark.apriori import attach_probs
+from kbspark.corpus import synth_corpus, synth_dims
+from kbspark.extract import annotate_stage, mention_stage
+from kbspark.linking import (
+    link_entities,
+    linking_quality,
+    mention_spans,
+    mine_anchor_aliases,
+)
+
+
+def _tagged(spark, n_pages=60, seed=21):
+    pages = spark.createDataFrame(synth_corpus(n_pages, seed=seed))
+    entity_types, redirects = synth_dims()
+    return (
+        pages,
+        entity_types,
+        redirects,
+        annotate_stage(pages, spark, entity_types, redirects),
+    )
+
+
+def test_mention_spans_grouping(spark):
+    tagged = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1"],
+                "page_title": ["P1"],
+                "text": [[["Franz", "Kafka", "liest", "."], ["Ende", "."]]],
+                "tags": [[["B-PER", "I-PER", "O", "O"], ["O", "O"]]],
+                "link_titles": [[["Kafka", "Kafka", "", ""], ["", ""]]],
+            }
+        )
+    )
+    spans = mention_spans(tagged).toPandas()
+    assert len(spans) == 1
+    row = spans.iloc[0]
+    assert row["surface"] == "Franz Kafka"
+    assert row["etype"] == "PER"
+    assert row["gt"] == "Kafka"
+    assert row["entity_id"] == "Franz Kafka-PER-0"
+
+
+def test_linking_end_to_end_pr(spark):
+    pages, entity_types, redirects, tagged = _tagged(spark)
+    spans = mention_spans(tagged)
+
+    # alias dictionary: entity titles + redirect sources, with a-priori
+    # probabilities from the mention stream itself (A2)
+    mentions = mention_stage(pages, spark, entity_types, redirects)
+    links = mentions.filter(F.col("entity_type") != "O").select(
+        F.col("page_title").alias("target")
+    )
+    ents = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "page_title": list(entity_types.keys()),
+                "TYPE": list(entity_types.values()),
+            }
+        )
+    ).withColumn("QID", F.concat(F.lit("Q"), F.abs(F.xxhash64("page_title"))))
+    ents = attach_probs(ents, links)
+    own = ents.select(
+        F.col("page_title").alias("alias"), "page_title", "QID", "TYPE", "proba"
+    )
+    red = spark.createDataFrame(
+        pd.DataFrame(
+            {"alias": list(redirects.keys()), "page_title": list(redirects.values())}
+        )
+    ).join(ents.select("page_title", "QID", "TYPE", "proba"), "page_title")
+    # anchor-text dictionary mined from the corpus link stream (E8)
+    mined = mine_anchor_aliases(mentions, ents.select("page_title", "QID", "TYPE"))
+    aliases = (
+        own.unionByName(red.select("alias", "page_title", "QID", "TYPE", "proba"))
+        .unionByName(mined)
+        .groupBy("alias", "page_title", "QID", "TYPE")
+        .agg(F.max("proba").alias("proba"))
+    )
+    el = link_entities(spans, aliases.withColumnRenamed("QID", "wikidata")
+                       .withColumn("QID", F.col("wikidata")))
+    q = linking_quality(el).collect()[0]
+    # synthetic corpus links are unambiguous surface==title → near-exact
+    assert q["precision"] >= 0.95, q
+    assert q["recall"] >= 0.95, q
+
+
+def test_sentinel_rows_for_unknown_mentions(spark):
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "on_page_id": ["u1"],
+                "on_page": ["P"],
+                "entity_id": ["Ghost-PER-0"],
+                "surface": ["Ghost"],
+                "etype": ["PER"],
+                "gt": ["Ghost"],
+                "context": ["Ghost walks ."],
+            }
+        )
+    )
+    aliases = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "alias": ["Other"],
+                "page_title": ["Other"],
+                "QID": ["Q1"],
+                "wikidata": ["Q1"],
+                "TYPE": ["PER"],
+                "proba": [0.5],
+            }
+        )
+    )
+    el = link_entities(spans, aliases).toPandas()
+    assert len(el) == 1
+    row = el.iloc[0]
+    assert row.page_title == "-" and row.wikidata == "-" and row.proba == 0.0
