@@ -57,78 +57,102 @@ def synth_dims(n_entities: int = 200, n_redirects: int = 60):
     return entity_types, redirect_targets
 
 
+def _synth_page(p: int, rng, n_entities: int, n_redirects: int,
+                zipf_a: float, repeats: int) -> dict:
+    """One page row — pure function of (p, rng state)."""
+    base_ts = _dt.datetime(2024, 1, 1)
+    ent_ids = np.minimum(rng.zipf(zipf_a, size=5 * repeats + 3) - 1, n_entities - 1)
+    redir_id = int(rng.randint(0, n_redirects))
+    words = rng.choice(_VOCAB, size=24 * repeats + 8)
+    e = [entity_title(int(i)) for i in ent_ids]
+    chunks = []
+    for r in range(repeats):
+        w = words[24 * r : 24 * (r + 1)]
+        k = 5 * r
+        # signature context words co-occur with their entity's links —
+        # entity-correlated context (how real corpora behave), so
+        # context-profile disambiguation has signal to work with while
+        # surfaces stay ambiguous across entities
+        sig1 = f"sig{int(ent_ids[k+1])}"
+        sig2 = f"sig{int(ent_ids[k+2])}"
+        sig_r = f"sig{redir_id % n_entities}"
+        chunks += [
+            f"{w[0]} {w[1]} [[{e[k]}]] {w[2]}. ",
+            f"{w[3]} [[{e[k+1]}|{w[4]} {w[5]}]] {sig1} {w[6]}. ",
+            f"[[{e[k+2]}#section|{w[7]}]] {sig2} {w[8]} {w[9]}. ",
+            f"[[Redirect_{redir_id}|{w[10]}]] {sig_r} {w[11]}. ",
+            f"[[Unknown_{p}]] {w[12]} &nbsp; {w[13]}. ",
+            f"{{{{Infobox|name={w[14]}|data={{{{nested|{w[15]}}}}}}}}} ",
+            f"{{| class=wikitable |- | {w[16]} |}} ",
+            f"<ref>{w[17]}</ref> {w[18]} <br/> ",
+            f"<!-- hidden {w[19]} --> == {w[20].capitalize()} == ",
+            f"[http://example.com/{p} ext] [[Datei:img_{p}.png|thumb]] ",
+            f"{w[21]} [[{e[k+3]}]] {w[22]} [[{e[k+4]}]]. ",
+        ]
+    chunks.append(f"== Literatur == {words[-1]} trailing refs")
+    text = "".join(chunks)
+    lang = _LANGS[p % len(_LANGS)]
+    return {
+        "url": f"https://site{p % 7}.example/{lang}/wiki/Page_{p}",
+        "warc_ts": base_ts + _dt.timedelta(minutes=p % 500_000),
+        "html": text.encode("utf-8"),
+        "text": text,
+        "lang": lang,
+    }
+
+
 def synth_corpus(
     n_pages: int,
     seed: int = 42,
     n_entities: int = 200,
     n_redirects: int = 60,
     zipf_a: float = 1.5,
+    repeats: int = 1,
 ) -> pd.DataFrame:
     """Seeded corpus of wiki-markup pages in the input_hint shape.
 
-    Markup features per page are drawn deterministically from
-    ``RandomState(seed)`` and cover: plain/surfaced/anchored wikilinks,
+    Markup features per page cover: plain/surfaced/anchored wikilinks,
     redirect links, nested templates and tables, paired/self-closing tags,
     comments, headings, terminal literature sections, ``&nbsp;``, external
     and file links. Entity references are Zipf-distributed → head-entity
-    skew.
+    skew. ``repeats`` scales per-page size (bench knob).
     """
     rng = np.random.RandomState(seed)
-    rows = []
-    base_ts = _dt.datetime(2024, 1, 1)
-    for p in range(n_pages):
-        ent_ids = np.minimum(rng.zipf(zipf_a, size=8) - 1, n_entities - 1)
-        redir_id = int(rng.randint(0, n_redirects))
-        words = rng.choice(_VOCAB, size=30)
-        e = [entity_title(int(i)) for i in ent_ids]
-        chunks = [
-            f"{words[0]} {words[1]} [[{e[0]}]] {words[2]}. ",
-            f"{words[3]} [[{e[1]}|{words[4]} {words[5]}]] {words[6]}. ",
-            f"[[{e[2]}#section|{words[7]}]] {words[8]} {words[9]}. ",
-            f"[[Redirect_{redir_id}|{words[10]}]] {words[11]}. ",
-            f"[[Unknown_{p}]] {words[12]} &nbsp; {words[13]}. ",
-            f"{{{{Infobox|name={words[14]}|data={{{{nested|{words[15]}}}}}}}}} ",
-            f"{{| class=wikitable |- | {words[16]} |}} ",
-            f"<ref>{words[17]}</ref> {words[18]} <br/> ",
-            f"<!-- hidden {words[19]} --> == {words[20].capitalize()} == ",
-            f"[http://example.com/{p} ext] [[Datei:img_{p}.png|thumb]] ",
-            f"{words[21]} [[{e[3]}]] {words[22]} [[{e[4]}]]. ",
-            f"== Literatur == {words[23]} trailing refs",
-        ]
-        text = "".join(chunks)
-        lang = _LANGS[p % len(_LANGS)]
-        url = f"https://site{p % 7}.example/{lang}/wiki/Page_{p}"
-        rows.append(
-            {
-                "url": url,
-                "warc_ts": base_ts + _dt.timedelta(minutes=p),
-                "html": text.encode("utf-8"),
-                "text": text,
-                "lang": lang,
-            }
-        )
+    rows = [
+        _synth_page(p, rng, n_entities, n_redirects, zipf_a, repeats)
+        for p in range(n_pages)
+    ]
     return pd.DataFrame(rows)
 
 
-def synth_corpus_df(spark, n_pages: int, seed: int = 42, n_partitions: int | None = None,
-                    **kw):
+def synth_corpus_df(spark, n_pages: int, seed: int = 42,
+                    n_partitions: int | None = None, **kw):
     """``synth_corpus`` as a Spark DataFrame.
 
-    For large n_pages the generation itself is distributed: a range
-    DataFrame of page ids → mapInPandas generator (each batch re-seeds
-    RandomState(seed + first page id) so output is independent of
-    partitioning)."""
+    For large n_pages the generation itself is distributed: a range of
+    page ids → mapInPandas; each page re-seeds RandomState(seed + id), so
+    content is a pure function of the page id — independent of
+    partitioning and parallelism."""
     if n_pages <= 50_000:
         sdf = spark.createDataFrame(synth_corpus(n_pages, seed=seed, **kw))
         return sdf.repartition(n_partitions) if n_partitions else sdf
 
+    n_entities = kw.get("n_entities", 200)
+    n_redirects = kw.get("n_redirects", 60)
+    zipf_a = kw.get("zipf_a", 1.5)
+    repeats = kw.get("repeats", 1)
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for pid in pdf["id"]:
-                # one page per seed-derivation: deterministic w.r.t. page id
-                yield synth_corpus(1, seed=seed + int(pid), **kw).assign(
-                    url=f"https://site{int(pid) % 7}.example/wiki/Page_{int(pid)}"
+            rows = [
+                _synth_page(
+                    int(pid), np.random.RandomState(seed + int(pid)),
+                    n_entities, n_redirects, zipf_a, repeats,
                 )
+                for pid in pdf["id"]
+            ]
+            if rows:
+                yield pd.DataFrame(rows)
 
     rng_df = spark.range(n_pages).repartition(n_partitions or 64)
     schema = "url string, warc_ts timestamp, html binary, text string, lang string"

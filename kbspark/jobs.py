@@ -34,3 +34,63 @@ def tagged_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages_from_documents(spark, sf_dir)
     entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
     return annotate_stage(pages, spark, entity_types, redirect_targets)
+
+
+def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full native EL pipeline (the reference's batchel-wp trace, §3.3,
+    minus the HTTP boundaries): tagged table → mention spans (E9) →
+    alias dictionary (titles + redirects + corpus-mined anchor texts,
+    E8) → scored + ranked candidates with sentinel rows (E10)."""
+    from pyspark.sql import functions as F
+
+    from kbspark.extract import mention_stage
+    from kbspark.linking import (
+        entity_context_profiles,
+        link_entities,
+        mention_spans,
+        mine_anchor_aliases,
+    )
+    from kbspark.triples import entity_dim_df
+
+    pin_session_conf(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
+
+    tagged = annotate_stage(pages, spark, entity_types, redirect_targets)
+    spans = mention_spans(tagged)
+
+    dim = entity_dim_df(spark, entity_types)
+    mentions = mention_stage(pages, spark, entity_types, redirect_targets)
+    mined = mine_anchor_aliases(mentions, dim)
+    own = dim.select(
+        F.col("page_title").alias("alias"), "page_title", "QID", "TYPE",
+        F.lit(0.0).alias("proba"),
+    )
+    import pandas as pd
+
+    red_pdf = pd.DataFrame(
+        {
+            "alias": list(redirect_targets.keys()),
+            "page_title": list(redirect_targets.values()),
+        }
+    )
+    red = spark.createDataFrame(red_pdf).join(
+        dim.select("page_title", "QID", "TYPE"), "page_title"
+    ).select("alias", "page_title", "QID", "TYPE", F.lit(0.0).alias("proba"))
+    aliases = (
+        own.unionByName(red)
+        .unionByName(mined)
+        .groupBy("alias", "page_title", "QID", "TYPE")
+        .agg(F.max("proba").alias("proba"))
+        .withColumn("wikidata", F.col("QID"))
+    )
+    profiles = entity_context_profiles(spans)
+    return link_entities(spans, aliases, profiles=profiles)
+
+
+def linking_quality_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P/R of rank-1 links vs the corpus ground truth — the BASELINE.json
+    P/R >= 0.95 gate, measured end-to-end."""
+    from kbspark.linking import linking_quality
+
+    return linking_quality(entity_linking_job(spark, sf_dir))

@@ -122,15 +122,53 @@ def _token_jaccard(a, b):
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def entity_context_profiles(spans: DataFrame, top_k: int = 50) -> DataFrame:
+    """Per-entity context term profiles (the E10 context-similarity
+    model): for every labeled mention, count the terms of its sentence
+    against the linked entity; keep each entity's top-k terms. Two-phase
+    agg + window top-k; profiles are broadcast-sized (entities × k).
+
+    Returns (page_title, profile array<string>). Deterministic: ties in
+    term count break on the term string."""
+    terms = (
+        spans.filter(F.col("gt") != "")
+        .select(
+            F.col("gt").alias("page_title"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col("context")), r"[\s_]+"))
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 1)
+        .groupBy("page_title", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("page_title").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        terms.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .groupBy("page_title")
+        .agg(
+            F.array_sort(F.collect_list("term")).alias("profile")
+        )
+    )
+
+
 def link_entities(
     mentions: DataFrame,
     aliases: DataFrame,
+    profiles: DataFrame | None = None,
     threshold: float = 0.01,
     context_weight: float = 0.5,
 ) -> DataFrame:
     """E10 scoring + ranking. ``aliases``: broadcastable dictionary with
-    (alias, page_title, QID, TYPE, proba). Returns the reference-shaped
-    entity_linking table including sentinel rows and a rank column."""
+    (alias, page_title, QID, TYPE, proba). ``profiles``: optional
+    per-entity context profiles from ``entity_context_profiles`` — when
+    given, the context term is overlap(mention sentence, candidate
+    profile); otherwise overlap(mention sentence, candidate title).
+    Returns the reference-shaped entity_linking table including sentinel
+    rows and a rank column."""
     norm_surface = F.replace(F.col("surface"), F.lit(" "), F.lit("_"))
     cand = mentions.withColumn("_alias", norm_surface).join(
         F.broadcast(aliases.withColumnRenamed("alias", "_alias")),
@@ -139,11 +177,22 @@ def link_entities(
     )
 
     matched = cand.filter(F.col("page_title").isNotNull())
+    if profiles is not None:
+        matched = matched.join(F.broadcast(profiles), "page_title", "left")
+        ctx = F.array_distinct(F.split(F.lower(F.col("context")), r"[\s_]+"))
+        prof = F.coalesce(F.col("profile"), F.array())
+        inter = F.size(F.array_intersect(ctx, prof)).cast("double")
+        denom = F.greatest(F.least(F.size(ctx), F.size(prof)), F.lit(1)).cast(
+            "double"
+        )
+        context_sim = inter / denom  # overlap coefficient
+    else:
+        context_sim = _token_jaccard(F.col("context"), F.col("page_title"))
     scored = matched.withColumn(
         "proba",
         F.round(
             (1 - context_weight) * F.coalesce(F.col("proba"), F.lit(0.0))
-            + context_weight * _token_jaccard(F.col("context"), F.col("page_title")),
+            + context_weight * context_sim,
             6,
         ),
     )

@@ -159,6 +159,39 @@ def kg_tagged_stats(spark, sf_dir):
     )
 
 
+@register(
+    "kg_el_quality",
+    oracle=_ORACLE_MENTION_BASE
+    + """
+    SELECT COUNT(*) AS n_mentions, COUNT(*) AS n_correct,
+           COUNT(*) AS n_predicted, COUNT(*) AS n_labeled,
+           CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall
+    FROM men
+    """,
+)
+def kg_el_quality(spark, sf_dir):
+    """Full native entity-linking pipeline (tagged → spans → anchor-mined
+    alias dict → scored ranking), measured as rank-1 P/R against the
+    corpus self-labels. On the derived corpus every mention is uniquely
+    linkable, so the oracle (generator-inverse) predicts exact counts and
+    P = R = 1.0 — any regression anywhere in the E1→E10 chain (cleaning,
+    tokenization, BIO tags, span grouping, alias mining, scoring) breaks
+    the match."""
+    from kbspark.jobs import linking_quality_job
+
+    return linking_quality_job(spark, sf_dir)
+
+
+@register("kg_entity_linking")
+def kg_entity_linking(spark, sf_dir):
+    """Rows-only: the EL output table itself, reference-shaped
+    (entity_id, page_title, wikidata, proba, on_page_id, on_page, gt,
+    rank — ned.py:32-34 plus rank)."""
+    from kbspark.jobs import entity_linking_job
+
+    return entity_linking_job(spark, sf_dir)
+
+
 @register("t_simhash_near_dups")
 def t_simhash_near_dups(spark, sf_dir):
     """Rows-only check: SimHash near-duplicate pairs (64-bit signatures,

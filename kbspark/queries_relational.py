@@ -640,6 +640,23 @@ def e12_date_coercion(spark, sf_dir):
     )
 
 
+@register(
+    "e11_json_extract",
+    oracle="""
+    SELECT event_id, CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def e11_json_extract(spark, sf_dir):
+    """E11: JSON encode/decode of nested payloads (the reference packs
+    sentence structures as JSON strings, ner.py:196/ned.py:50-53; here
+    the events.props column)."""
+    return spark.table("events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregation + sessionization
 # ---------------------------------------------------------------------------
@@ -666,6 +683,31 @@ def w_tumbling_window(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
     )
+
+
+@register(
+    "g_stream_incremental",
+    oracle="""
+    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def g_stream_incremental(spark, sf_dir):
+    """§2.G: the same windowed aggregation executed through Structured
+    Streaming (AvailableNow-style incremental over the static source) —
+    must equal the batch result exactly."""
+    from kbspark.streaming import run_incremental
+
+    def agg(stream):
+        return stream.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        ).agg(F.count("*").alias("n"))
+
+    return run_incremental(spark, f"{sf_dir}/events.parquet", agg)
 
 
 @register(

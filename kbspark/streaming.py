@@ -1,0 +1,65 @@
+"""Structured Streaming incremental mode (SURVEY.md §2.G).
+
+The reference is batch-only; its 'streaming' is chunked XML parsing +
+chunked sink appends for memory control (S1/S4). Our engine's streaming
+surface is therefore an **incremental-append mode over new snapshots**:
+``Trigger.AvailableNow``-style processing that reuses the identical batch
+dataflow — the idiomatic Spark shape for a batch pipeline that must also
+absorb a trickle of new WARC partitions.
+
+``run_incremental`` drives a streaming source through the provided batch
+transform into an in-memory (or parquet) sink synchronously — the local
+smoke path; on a cluster the same code takes a Kafka/files source and a
+``foreachBatch`` Iceberg sink.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def run_incremental(
+    spark: SparkSession,
+    source_path: str,
+    transform,
+    schema=None,
+    query_name: str | None = None,
+) -> DataFrame:
+    """readStream(parquet at source_path) → transform(df) → memory sink;
+    processes everything available, stops, and returns the sink contents
+    as a batch DataFrame (deterministic for a static source)."""
+    if schema is None:
+        schema = spark.read.parquet(source_path).schema
+    name = query_name or f"inc_{uuid.uuid4().hex[:8]}"
+    # the streaming file source requires a directory; wrap a single
+    # parquet file in a temp dir via symlink
+    if os.path.isfile(source_path):
+        d = tempfile.mkdtemp(prefix="kbspark_stream_")
+        os.symlink(os.path.abspath(source_path),
+                   os.path.join(d, os.path.basename(source_path)))
+        source_path = d
+    stream = (
+        spark.readStream.schema(schema).parquet(source_path)
+    )
+    out = transform(stream)
+    q = (
+        out.writeStream.outputMode("complete" if out.isStreaming and _has_agg(out)
+                                   else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _has_agg(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().logical().toString()
+    return "Aggregate" in plan

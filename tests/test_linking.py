@@ -9,6 +9,7 @@ from kbspark.apriori import attach_probs
 from kbspark.corpus import synth_corpus, synth_dims
 from kbspark.extract import annotate_stage, mention_stage
 from kbspark.linking import (
+    entity_context_profiles,
     link_entities,
     linking_quality,
     mention_spans,
@@ -83,10 +84,17 @@ def test_linking_end_to_end_pr(spark):
         .groupBy("alias", "page_title", "QID", "TYPE")
         .agg(F.max("proba").alias("proba"))
     )
-    el = link_entities(spans, aliases.withColumnRenamed("QID", "wikidata")
-                       .withColumn("QID", F.col("wikidata")))
+    profiles = entity_context_profiles(spans)
+    el = link_entities(
+        spans,
+        aliases.withColumnRenamed("QID", "wikidata").withColumn(
+            "QID", F.col("wikidata")
+        ),
+        profiles=profiles,
+    )
     q = linking_quality(el).collect()[0]
-    # synthetic corpus links are unambiguous surface==title → near-exact
+    # ambiguous surfaces (random two-word anchors shared across entities)
+    # must be resolved by the context-profile similarity
     assert q["precision"] >= 0.95, q
     assert q["recall"] >= 0.95, q
 

@@ -1,0 +1,85 @@
+"""Physical-plan quality gates (SURVEY.md §4): predicate pushdown reaches
+the parquet scan, small dims broadcast, the extract path is shuffle-free,
+salted aggregation is two-phase, and no row-at-a-time Python UDF exists
+anywhere in the package."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from kbspark.corpus import synth_corpus, synth_dims
+from kbspark.extract import mention_stage
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf01_dir):
+    orders = spark.read.parquet(f"{sf01_dir}/orders.parquet")
+    q = orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    plan = _formatted(q)
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters:.*o_orderstatus", plan), plan
+    # column pruning: scan reads only the two needed columns
+    m = re.search(r"ReadSchema: ([^\n]+)", plan)
+    assert m and "o_totalprice" not in m.group(1), m.group(1)
+
+
+def test_dim_join_is_broadcast(spark, sf01_dir):
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf01_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_salted_agg_is_two_phase(spark, sf01_dir):
+    from kbspark.apriori import salted_count
+
+    li = spark.read.parquet(f"{sf01_dir}/lineitem.parquet")
+    plan = _plan(salted_count(li, "l_partkey", n_salts=8))
+    # two distinct aggregation keys: (key, salt) then (key)
+    assert plan.count("HashAggregate") >= 4  # partial+final × two phases
+
+
+def test_mention_stage_is_single_narrow_stage(spark):
+    pages = spark.createDataFrame(synth_corpus(20, seed=1))
+    entity_types, redirects = synth_dims()
+    mentions = mention_stage(pages, spark, entity_types, redirects)
+    plan = _plan(mentions)
+    assert "Exchange" not in plan, plan  # zero shuffles: scan → mapInPandas
+    assert "MapInPandas" in plan
+
+
+def test_no_row_at_a_time_python_udfs():
+    """The no-per-row-Python invariant (BASELINE.json input_hint): every
+    Python crossing is a pandas UDF / mapInPandas (BatchEval / ArrowEval),
+    never a row-oriented PythonUDF. Scans the package source for the
+    row-UDF constructors."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "kbspark"
+    offenders = []
+    for path in pkg.glob("*.py"):
+        src = path.read_text()
+        # F.udf( / @udf without pandas_udf; rdd.map / rdd.flatMap
+        if re.search(r"(?<!pandas_)\budf\(", src):
+            offenders.append((path.name, "row udf"))
+        if re.search(r"\.rdd\b", src):
+            offenders.append((path.name, "rdd api"))
+    assert not offenders, offenders
+
+
+def test_clean_stage_plan_is_arrow_eval(spark):
+    from kbspark.extract import clean_pages
+
+    pages = spark.createDataFrame(synth_corpus(5, seed=2))
+    plan = _plan(clean_pages(pages))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # would indicate row-oriented eval
