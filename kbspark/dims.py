@@ -231,6 +231,84 @@ def build_entities(
     )
 
 
+def wikidata_mapping(
+    entities: DataFrame,
+    qid_tables: dict[str, DataFrame],
+    languages: list[str],
+) -> DataFrame:
+    """QID cross-language mapping (reference wikidatamapping,
+    wikipedia/entities.py:250-317): per language a (page_title, QID)
+    table from page⋈page_props; first language joins the entity dict
+    inner, the rest chain in as left joins on QID (J4).
+
+    ``qid_tables[lang]``: DataFrame (page_title, QID) already filtered to
+    ns=0 / pp_propname='wikibase_item' (the reference's qid_query,
+    entities.py:285-287). Returns one wide row per entity:
+    (QID, <LANG1>, <LANG2>, ..., TYPE)."""
+    first = languages[0]
+    mapping = entities.select("page_title", "TYPE").join(
+        qid_tables[first].withColumnRenamed("page_title", first),
+        F.col("page_title") == F.col(first),
+        "inner",
+    ).drop("page_title")
+    for lang in languages[1:]:
+        tmp = qid_tables[lang].withColumnRenamed("page_title", lang)
+        mapping = mapping.join(F.broadcast(tmp), "QID", "left")
+    return mapping.select("QID", *languages, "TYPE")
+
+
+def per_language_entities(mapping: DataFrame, lang: str) -> DataFrame:
+    """The reference's per-language output (entities.py:308-317):
+    (page_title, TYPE) for one language, nulls dropped, dedup keep-first
+    by title order."""
+    out = (
+        mapping.select(F.col(lang).alias("page_title"), "TYPE")
+        .dropna(how="any")
+    )
+    w = W.partitionBy("page_title").orderBy(F.col("TYPE").asc())
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: int = 41,
+) -> DataFrame:
+    """O3 — deterministic train/dev/test split. The reference permutes
+    row positions with a seeded RandomState (ner.py:317,336-346), which
+    is partition-order-dependent; distributed engines need a
+    content-hash split instead (intentional, documented deviation —
+    SURVEY §2.F O3). Split = first md5 nibbles of (seed || key) mapped
+    to [0,1), stable across partitionings, engines and runs.
+
+    Returns ``df`` plus a ``split`` column."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError("fractions must sum to <= 1.0")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(str(seed)), F.lit(":"),
+                                   F.col(key_col).cast("string"))), 1, 8),
+        16, 10,
+    ).cast("double") / F.lit(float(16**8))
+    expr = F.lit("rest")
+    lo = 0.0
+    # build a CASE over cumulative fraction boundaries
+    conds = []
+    for name, frac in fractions.items():
+        conds.append((name, lo, lo + frac))
+        lo += frac
+    expr = None
+    for name, a, b in reversed(conds):
+        branch = F.when((h >= a) & (h < b), F.lit(name))
+        expr = branch.otherwise(expr) if expr is not None else branch
+    return df.withColumn("split", F.coalesce(expr, F.lit("rest")))
+
+
 def aliases_table(entities: DataFrame, redirects: DataFrame) -> DataFrame:
     """Alias dictionary for gazetteer matching (E8): entity titles +
     labels + redirect source titles, each mapping to the canonical

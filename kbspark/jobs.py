@@ -43,7 +43,6 @@ def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     E8) → scored + ranked candidates with sentinel rows (E10)."""
     from pyspark.sql import functions as F
 
-    from kbspark.extract import mention_stage
     from kbspark.linking import (
         entity_context_profiles,
         link_entities,
@@ -57,11 +56,12 @@ def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
 
     tagged = annotate_stage(pages, spark, entity_types, redirect_targets)
-    spans = mention_spans(tagged)
+    # one full-corpus extraction pass: spans feed BOTH candidate mining
+    # (surface->gt pairs) and linking — no second mention_stage scan
+    spans = mention_spans(tagged).persist()
 
     dim = entity_dim_df(spark, entity_types)
-    mentions = mention_stage(pages, spark, entity_types, redirect_targets)
-    mined = mine_anchor_aliases(mentions, dim)
+    mined = mine_anchor_aliases(spans, dim, target_col="gt")
     own = dim.select(
         F.col("page_title").alias("alias"), "page_title", "QID", "TYPE",
         F.lit(0.0).alias("proba"),

@@ -85,21 +85,29 @@ def mention_spans(tagged: DataFrame) -> DataFrame:
     return tagged.mapInPandas(run, schema=MENTION_SCHEMA)
 
 
-def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame) -> DataFrame:
+def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
+                        surface_col: str = "surface",
+                        target_col: str = "page_title") -> DataFrame:
     """Anchor-text dictionary (E8): corpus-observed (surface -> target)
     link pairs with P(target | surface) — the Wikipedia-anchor analog of
     the reference's a-priori link statistics (its `links` table,
     entities.py:330/363, keyed by surface instead of target).
 
-    ``mentions``: output of kbspark.extract.mention_stage.
-    ``entity_dim``: (page_title, QID, TYPE[, wikidata]) dictionary.
-    Returns (alias, page_title, QID, TYPE, proba) where proba is the
-    per-surface target probability. Two-phase agg; skew-safe (counts)."""
+    ``mentions``: any table with a surface column and a resolved target
+    column — the mention_stage output (surface, page_title) or the span
+    table (surface, gt). ``entity_dim``: (page_title, QID, TYPE[,
+    wikidata]) dictionary. Returns (alias, page_title, QID, TYPE, proba)
+    where proba is the per-surface target probability. Two-phase agg;
+    skew-safe (counts)."""
+    cols = mentions.columns
+    base = mentions
+    if "entity_type" in cols:
+        base = base.filter(F.col("entity_type") != "O")
     pairs = (
-        mentions.filter(F.col("entity_type") != "O")
+        base.filter(F.col(target_col) != "")
         .select(
-            F.replace(F.col("surface"), F.lit(" "), F.lit("_")).alias("alias"),
-            "page_title",
+            F.replace(F.col(surface_col), F.lit(" "), F.lit("_")).alias("alias"),
+            F.col(target_col).alias("page_title"),
         )
         .groupBy("alias", "page_title")
         .agg(F.count("*").alias("n"))

@@ -641,6 +641,87 @@ def e12_date_coercion(spark, sf_dir):
 
 
 @register(
+    "d_wikidata_mapping",
+    oracle="""
+    WITH ents AS (
+      SELECT c_name AS page_title, c_mktsegment AS TYPE
+      FROM customer WHERE c_custkey < 800
+    ),
+    de AS (SELECT c_name AS DE, 'Q' || CAST(c_custkey AS VARCHAR) AS QID
+           FROM customer WHERE c_custkey < 600),
+    fr AS (SELECT 'FR_' || CAST(c_custkey AS VARCHAR) AS FR,
+                  'Q' || CAST(c_custkey AS VARCHAR) AS QID
+           FROM customer WHERE c_custkey % 2 = 0),
+    en AS (SELECT 'EN_' || CAST(c_custkey AS VARCHAR) AS EN,
+                  'Q' || CAST(c_custkey AS VARCHAR) AS QID
+           FROM customer WHERE c_custkey % 3 = 0)
+    SELECT e.QID, e.DE, fr.FR, en.EN, e.TYPE FROM (
+      SELECT de.QID, de.DE, ents.TYPE FROM ents JOIN de ON ents.page_title = de.DE
+    ) e LEFT JOIN fr ON e.QID = fr.QID LEFT JOIN en ON e.QID = en.QID
+    """,
+)
+def d_wikidata_mapping(spark, sf_dir):
+    """J4 as the dims-layer function: QID cross-language mapping chain
+    (reference wikidatamapping, wikipedia/entities.py:285-302) over
+    synthetic per-language QID tables derived from customer."""
+    from kbspark.dims import wikidata_mapping
+
+    c = spark.table("customer")
+    qid = F.concat(F.lit("Q"), F.col("c_custkey").cast("string"))
+    ents = c.filter(F.col("c_custkey") < 800).select(
+        F.col("c_name").alias("page_title"), F.col("c_mktsegment").alias("TYPE")
+    )
+    qids = {
+        "DE": c.filter(F.col("c_custkey") < 600).select(
+            F.col("c_name").alias("page_title"), qid.alias("QID")
+        ),
+        "FR": c.filter(F.col("c_custkey") % 2 == 0).select(
+            F.concat(F.lit("FR_"), F.col("c_custkey").cast("string")).alias(
+                "page_title"
+            ),
+            qid.alias("QID"),
+        ),
+        "EN": c.filter(F.col("c_custkey") % 3 == 0).select(
+            F.concat(F.lit("EN_"), F.col("c_custkey").cast("string")).alias(
+                "page_title"
+            ),
+            qid.alias("QID"),
+        ),
+    }
+    return wikidata_mapping(ents, qids, ["DE", "FR", "EN"])
+
+
+@register(
+    "o3_hash_split_lib",
+    oracle="""
+    SELECT split, COUNT(*) AS n FROM (
+      SELECT CASE
+        WHEN h < 0.8 THEN 'train'
+        WHEN h < 0.9 THEN 'dev'
+        WHEN h < 1.0 THEN 'test'
+        ELSE 'rest' END AS split
+      FROM (
+        SELECT CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('41', ':',
+                     CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+               / 4294967296.0 AS h
+        FROM customer
+      )
+    ) GROUP BY split
+    """,
+)
+def o3_hash_split_lib(spark, sf_dir):
+    """O3 via the library hash_split (train/dev/test fractions), proven
+    byte-equivalent to the SQL oracle's md5-nibble arithmetic."""
+    from kbspark.dims import hash_split
+
+    out = hash_split(
+        spark.table("customer"), "c_custkey",
+        {"train": 0.8, "dev": 0.1, "test": 0.1}, seed=41,
+    )
+    return out.groupBy("split").agg(F.count("*").alias("n"))
+
+
+@register(
     "e11_json_extract",
     oracle="""
     SELECT event_id, CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_value
