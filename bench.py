@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "kg_triples",
-    "kg_mentions",
+    "kg_entity_linking",
     "kg_tagged_stats",
     "q1_pricing_summary",
     "q3_shipping_priority",

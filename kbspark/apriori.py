@@ -21,23 +21,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def salted_count(df: DataFrame, key: str, n_salts: int = 16) -> DataFrame:
-    """Two-phase salted count per key → columns (key, n_links)."""
+def salted_count(df: DataFrame, key: str, n_salts: int = 16,
+                 weight_col: str | None = None) -> DataFrame:
+    """Two-phase salted count per key → columns (key, n_links).
+    ``weight_col`` turns the count into a weighted sum (e.g. rows that
+    carry pre-aggregated occurrence counts)."""
     salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), n_salts)
-    partial = (
-        df.withColumn("_salt", salt)
-        .groupBy(key, "_salt")
-        .agg(F.count("*").alias("_partial"))
-    )
+    agg = (
+        F.sum(F.col(weight_col)) if weight_col is not None else F.count("*")
+    ).alias("_partial")
+    partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(agg)
     return partial.groupBy(key).agg(F.sum("_partial").cast("bigint").alias("n_links"))
 
 
 def apriori_probs(links: DataFrame, target_col: str = "target",
-                  n_salts: int = 16) -> DataFrame:
+                  n_salts: int = 16, weight_col: str | None = None) -> DataFrame:
     """links table → (target, n_links, proba); proba = n_links / total
     (wikipedia/entities.py:370-372)."""
-    total = links.count()
-    counts = salted_count(links, key=target_col, n_salts=n_salts)
+    if weight_col is not None:
+        total = links.agg(F.sum(weight_col)).collect()[0][0] or 0
+    else:
+        total = links.count()
+    counts = salted_count(links, key=target_col, n_salts=n_salts,
+                          weight_col=weight_col)
     return counts.withColumn(
         "proba", F.col("n_links") / F.lit(float(total))
     )
@@ -45,10 +51,11 @@ def apriori_probs(links: DataFrame, target_col: str = "target",
 
 def attach_probs(entities: DataFrame, links: DataFrame,
                  entity_key: str = "page_title",
-                 target_col: str = "target") -> DataFrame:
+                 target_col: str = "target",
+                 weight_col: str | None = None) -> DataFrame:
     """Join probabilities back onto the entity dictionary; entities with
     no links get proba 0.0 (the reference's count=0/total)."""
-    probs = apriori_probs(links, target_col=target_col)
+    probs = apriori_probs(links, target_col=target_col, weight_col=weight_col)
     return (
         entities.join(
             F.broadcast(probs.withColumnRenamed(target_col, entity_key)),
