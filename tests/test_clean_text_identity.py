@@ -84,3 +84,19 @@ def test_property_random_markup(raw):
 @given(st.text(max_size=200))
 def test_property_arbitrary_text(raw):
     assert clean_text(raw) == ref_clean(raw)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            list("ab .|") + ["&nbsp;", "{{x}}", "[[A|b]]", "{| t |}", "== h =="]
+        ),
+        max_size=40,
+    )
+)
+def test_property_idempotent_on_clean_output(parts):
+    """SURVEY §5.4: cleaning already-cleaned text only ever re-applies
+    the wikilink-guard roundtrip — one more pass must be a fixpoint."""
+    once = clean_text("".join(parts))
+    assert clean_text(once) == clean_text(clean_text(once))
