@@ -201,6 +201,18 @@ def t_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(spark.table("documents"), max_hamming=12)
 
 
+@register("m_media_features")
+def m_media_features(spark, sf_dir):
+    """Rows-only: multimodal binary-column plumbing — metadata + decoded
+    feature vectors over the pages' html payloads (decode = deterministic
+    fake; real codecs stubbed, kbspark/media.py)."""
+    from kbspark.corpus import pages_from_documents
+    from kbspark.media import media_features
+
+    pages = pages_from_documents(spark, sf_dir)
+    return media_features(pages)
+
+
 @register("s_knn_lsh")
 def s_knn_lsh(spark, sf_dir):
     """Rows-only check: random-hyperplane LSH ANN (approximate — no exact
