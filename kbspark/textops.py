@@ -135,12 +135,18 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     hash aggs; both partial-aggregate map-side."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
-    tok = tok.withColumn("hv", F.xxhash64("w"))
+    # collapse repeated tokens first: the 64-lane explode then runs on
+    # (doc, DISTINCT token) rows with count weights — ~10x fewer rows on
+    # natural text, identical vote sums
+    tok = tok.groupBy("doc_id", "w").agg(F.count("*").alias("n")).withColumn(
+        "hv", F.xxhash64("w")
+    )
     votes = F.array(
         *[
             F.when(
-                F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1))
+                F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1,
+                F.col("n"),
+            ).otherwise(-F.col("n"))
             for b in range(64)
         ]
     )
