@@ -58,10 +58,31 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
-    # throughput facts from the flagship triple build
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    kg_secs = timings["kg_triples"]
-    n_triples = counts["kg_triples"]
+    # Pipeline throughput on a corpus large enough to amortize fixed
+    # costs (the sf0.1 documents table is only 5k rows): deterministic
+    # 40x replication of the derived pages, then the full extract->triple
+    # pipeline. Labeled separately from the headline query timings.
+    from pyspark.sql import functions as F
+
+    from kbspark.corpus import dims_from_documents, pages_from_documents
+    from kbspark.extract import mention_stage
+    from kbspark.triples import build_triples
+
+    entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
+    pages = pages_from_documents(spark, sf_dir)
+    replicated = (
+        pages.crossJoin(spark.range(40).withColumnRenamed("id", "_rep"))
+        .withColumn("url", F.concat_ws("#", "url", F.col("_rep").cast("string")))
+        .drop("_rep")
+        .repartition(cpus * 4)
+    )
+    n_docs = replicated.count()  # materialize the input before the clock
+    t0 = time.time()
+    mentions = mention_stage(replicated, spark, entity_types, redirect_targets)
+    n_triples = build_triples(
+        spark, mentions, entity_types, redirect_targets
+    ).count()
+    kg_secs = time.time() - t0
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
@@ -71,6 +92,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows": counts,
+        "pipeline_docs": n_docs,
+        "pipeline_triples": n_triples,
+        "pipeline_secs": round(kg_secs, 3),
         "docs_per_sec": round(n_docs / kg_secs, 1) if kg_secs else None,
         "triples_per_sec": round(n_triples / kg_secs, 1) if kg_secs else None,
         "cpus": cpus,

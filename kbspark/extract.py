@@ -230,6 +230,30 @@ class RegexTokenizer:
         return out
 
 
+class SoMaJoTokenizerAdapter:
+    """Adapter for the real SoMaJo tokenizer the reference uses
+    (ner.py:203: ``Tokenizer('de_CMC', split_camel_case=True)``). SoMaJo
+    is not installed in this sandbox — the adapter import-guards it and
+    exposes the same ``tokenize_text`` shape as RegexTokenizer, so a
+    cluster with somajo installed gets reference-grade tokenization by
+    injecting this class into the annotate stage."""
+
+    def __init__(self, language: str = "de_CMC", split_camel_case: bool = True):
+        try:
+            from somajo import SoMaJo
+        except ImportError as e:  # pragma: no cover - somajo not in sandbox
+            raise ImportError(
+                "somajo is not installed; use RegexTokenizer or install somajo"
+            ) from e
+        self._tok = SoMaJo(language, split_camel_case=split_camel_case)
+
+    def tokenize_text(self, texts):  # pragma: no cover - needs somajo
+        return [
+            [tok.text for tok in sentence]
+            for sentence in self._tok.tokenize_text(texts)
+        ]
+
+
 class RegexSentenceSplitter:
     """Sentence splitter over a flat token stream (stands in for SoMaJo's
     ``SentenceSplitter.split``, ner.py:156): a sentence ends after a
