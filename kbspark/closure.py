@@ -57,18 +57,37 @@ def reachable(
 
 def descendant_edges(edges: DataFrame, root: str, parent: str = "cl_to",
                      child_title: str = "page_title") -> DataFrame:
-    """The reference's get_sub_cats shape (entities.py:33-48): all edge
-    rows whose parent is in the transitive closure below ``root``.
-    ``edges`` columns: (cl_to = parent title, page_title = child title,
-    plus any payload)."""
+    """The reference's get_sub_cats (wikipedia/entities.py:33-48): all
+    distinct edge rows whose parent category is in the transitive closure
+    below ``root``. ``edges`` columns: (cl_to = parent title, cl_from =
+    child page id, page_title = child's title when the child is itself a
+    category, else NULL — the reference's left join entities.py:40-42).
+    Only titled (category) children are descended into, matching the
+    reference's ``cats.dropna()`` recursion guard (entities.py:20)."""
     import pandas as pd
 
     spark = edges.sparkSession
     roots = spark.createDataFrame(pd.DataFrame({"node": [root]}))
     closure = reachable(
-        edges.select(F.col(parent).alias("src"), F.col(child_title).alias("dst")),
+        edges.filter(F.col(child_title).isNotNull()).select(
+            F.col(parent).alias("src"), F.col(child_title).alias("dst")
+        ),
         roots,
     )
     return edges.join(
-        closure.withColumnRenamed("node", parent).hint("broadcast"), parent
+        F.broadcast(closure.withColumnRenamed("node", parent)), parent
+    ).distinct()
+
+
+def category_member_pages(pages: DataFrame, cats: DataFrame,
+                          drop_prefix: str = "Liste_") -> DataFrame:
+    """The reference's get_category_pages (entities.py:51-67): ns-0 pages
+    that are members of any closure category (semi-join on cl_from =
+    page_id), minus the list-page prefix (P2)."""
+    page0 = pages.filter(F.col("page_namespace") == 0).select(
+        "page_id", "page_title"
+    )
+    member_ids = cats.select(F.col("cl_from").alias("page_id")).distinct()
+    return page0.join(member_ids, "page_id", "left_semi").filter(
+        ~F.col("page_title").startswith(drop_prefix)
     )

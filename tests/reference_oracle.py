@@ -42,6 +42,31 @@ def load_reference_function(rel_path: str, func_name: str, extra_ns=None):
     return ns[func_name]
 
 
+def load_reference_functions(rel_path: str, func_names: list[str], extra_ns=None):
+    """Like load_reference_function but loads several co-dependent
+    functions into one shared namespace (e.g. get_sub_cats → _get_cats)."""
+    path = f"{REFERENCE_ROOT}/{rel_path}"
+    with open(path, encoding="utf-8") as f:
+        source = f.read()
+    tree = ast.parse(source)
+    funcs = [
+        node
+        for node in tree.body
+        if isinstance(node, ast.FunctionDef) and node.name in func_names
+    ]
+    module = ast.Module(body=funcs, type_ignores=[])
+    code = compile(module, filename=path, mode="exec")
+    ns: dict = {
+        "re": re,
+        "logger": logging.getLogger("reference_oracle"),
+        "types": types,
+    }
+    if extra_ns:
+        ns.update(extra_ns)
+    exec(code, ns)
+    return {name: ns[name] for name in func_names}
+
+
 def reference_clean_text():
     """The reference's clean_text (qurator/wikipedia/ner.py:30-76),
     exec'd from its own source — THE oracle for E1 byte-identity."""

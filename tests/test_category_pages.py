@@ -1,0 +1,98 @@
+"""Category-closure flow parity: descendant_edges + category_member_pages
+vs the reference's get_sub_cats/get_category_pages
+(qurator/wikipedia/entities.py:9-67) exec'd over a real SQLite db —
+including cycles and dangling children (FIXTURES.md §4)."""
+
+import sqlite3
+import sys
+
+import numpy as np
+import pandas as pd
+
+from kbspark.closure import category_member_pages, descendant_edges
+from tests.reference_oracle import load_reference_functions
+
+
+def synth_category_db(tmp_path, seed=29, n_cats=40, n_articles=80):
+    rng = np.random.RandomState(seed)
+    cats = pd.DataFrame(
+        {
+            "page_id": range(1000, 1000 + n_cats),
+            "page_title": [f"Cat_{i}" for i in range(n_cats)],
+            "page_namespace": [14] * n_cats,
+        }
+    )
+    arts = pd.DataFrame(
+        {
+            "page_id": range(1, n_articles + 1),
+            "page_title": [
+                f"Liste_von_{i}" if i % 10 == 0 else f"Artikel_{i}"
+                for i in range(1, n_articles + 1)
+            ],
+            "page_namespace": [0] * n_articles,
+        }
+    )
+    page = pd.concat([cats, arts], ignore_index=True)
+
+    links = []
+    # category DAG edges + explicit cycles
+    for i in range(n_cats):
+        for _ in range(2):
+            child = int(rng.randint(0, n_cats))
+            links.append((f"Cat_{i}", 1000 + child))
+    links += [("Cat_0", 1001), ("Cat_1", 1002), ("Cat_2", 1000)]  # cycle
+    # article members
+    for a in range(1, n_articles + 1):
+        links.append((f"Cat_{int(rng.randint(0, n_cats))}", a))
+    # dangling child id (no page row) — exercises the left join
+    links.append(("Cat_0", 99999))
+    categorylinks = pd.DataFrame(links, columns=["cl_to", "cl_from"])
+
+    db = str(tmp_path / "cats.sqlite3")
+    with sqlite3.connect(db) as cnx:
+        page.to_sql("page", cnx, index=False)
+        categorylinks.to_sql("categorylinks", cnx, index=False)
+    return db, page, categorylinks
+
+
+def test_category_closure_parity(spark, tmp_path):
+    db, page, categorylinks = synth_category_db(tmp_path)
+
+    fns = load_reference_functions(
+        "qurator/wikipedia/entities.py",
+        ["_get_cats", "get_sub_cats", "get_category_pages"],
+        extra_ns={"pd": pd, "sqlite3": sqlite3},
+    )
+    sys.setrecursionlimit(10000)
+    with sqlite3.connect(db) as cnx:
+        ref_cats = fns["get_sub_cats"]("Cat_0", cnx)
+        ref_pages = fns["get_category_pages"](ref_cats, cnx)
+
+    # Spark side: same edge preparation as entities.py:40-42
+    s_page = spark.createDataFrame(page)
+    s_links = spark.createDataFrame(categorylinks)
+    cat_pages = s_page.filter("page_namespace = 14").select(
+        "page_id", "page_title"
+    )
+    edges = s_links.join(
+        cat_pages, s_links.cl_from == cat_pages.page_id, "left"
+    ).select("cl_to", "cl_from", "page_title")
+
+    ours_cats_df = descendant_edges(edges, "Cat_0")
+    ours_cats = ours_cats_df.toPandas()
+    # The reference's final drop_duplicates() (entities.py:48) ignores the
+    # cl_to index, collapsing same-child-different-parent edges — an
+    # information-losing quirk its own downstream never observes (only
+    # cats.cl_from is consumed, entities.py:57). Parity is asserted on
+    # that consumed semantic: the child-id set (and the pages below);
+    # our edge set additionally keeps correct parent attribution.
+    assert set(ours_cats.cl_from) == set(ref_cats.cl_from)
+    ref_pairs = {
+        (r.cl_to, r.cl_from) for r in ref_cats.reset_index().itertuples()
+    }
+    ours_pairs = {(r.cl_to, r.cl_from) for r in ours_cats.itertuples()}
+    assert ref_pairs <= ours_pairs  # superset only adds parent attribution
+
+    ours_pages = category_member_pages(s_page, ours_cats_df).toPandas()
+    assert sorted(ours_pages.page_title) == sorted(ref_pages.page_title)
+    assert not ours_pages.page_title.str.startswith("Liste_").any()
