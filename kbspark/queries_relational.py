@@ -941,6 +941,122 @@ def e11_json_extract(spark, sf_dir):
     )
 
 
+@register(
+    "x_asof_join",
+    oracle="""
+    SELECT c.event_id,
+           c.user_id,
+           STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+           v.value AS view_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def x_asof_join(spark, sf_dir):
+    """As-of join (clicks ← latest prior view per user) via the
+    union+window composition (kbspark.relops.asof_join) — one shuffle on
+    the by-key; oracle = DuckDB's native ASOF JOIN."""
+    from kbspark.relops import asof_join
+
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(clicks, views, by="user_id", ts="ts",
+                    value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.col("value_asof").alias("view_value"),
+    )
+
+
+@register(
+    "x_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def x_rollup(spark, sf_dir):
+    """Hierarchical rollup aggregation (beyond-reference OLAP breadth;
+    NULL markers for subtotal levels match ANSI semantics)."""
+    return (
+        spark.table("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "x_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def x_cube(spark, sf_dir):
+    """Full cube over two dimensions."""
+    return (
+        spark.table("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "x_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def x_pivot(spark, sf_dir):
+    """Pivot linestatus into columns (conditional-agg equivalent keeps
+    the oracle portable)."""
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+    )
+
+
+@register(
+    "x_percentile_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def x_percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles per group (both engines use linear
+    interpolation; rounded to tame last-ulp differences)."""
+    return (
+        spark.table("orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # events: windowed aggregation + sessionization
 # ---------------------------------------------------------------------------
