@@ -230,6 +230,44 @@ def t_lsh_near_dup_pairs(spark, sf_dir):
 
 
 @register(
+    "e_cosine_near_dup_pairs",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(LIST_DOT_PRODUCT(a.emb, b.emb) /
+                 (SQRT(LIST_DOT_PRODUCT(a.emb, a.emb)) *
+                  SQRT(LIST_DOT_PRODUCT(b.emb, b.emb))), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE LIST_DOT_PRODUCT(a.emb, b.emb) /
+          (SQRT(LIST_DOT_PRODUCT(a.emb, a.emb)) *
+           SQRT(LIST_DOT_PRODUCT(b.emb, b.emb))) >= 0.35
+    """,
+)
+def e_cosine_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family): exact
+    all-pairs at oracle scale; the LSH-bucketed scale path is s_knn_lsh /
+    kbspark.simsearch. JVM-side dot products via zip_with/aggregate."""
+    from kbspark.simsearch import _as_double, _dot, _norm
+
+    e = spark.table("embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        _norm(F.col("ea")) * _norm(F.col("eb"))
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )
+
+
+@register(
     "s_knn_bruteforce",
     oracle="""
     WITH q AS (

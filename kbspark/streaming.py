@@ -63,3 +63,77 @@ def run_incremental(
 def _has_agg(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().logical().toString()
     return "Aggregate" in plan
+
+
+def streaming_exact_dedup(
+    spark: SparkSession,
+    source_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    max_files_per_trigger: int = 1,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Stateful incremental deduplication: as document batches arrive,
+    emit only first-seen content fingerprints. State = the fingerprint
+    set per hash bucket (``applyInPandasWithState``); bucketing by
+    fingerprint hash bounds per-key state and spreads it across
+    executors — the streaming counterpart of the batch exact-dedup
+    (kbspark.textops / t_exact_dedup).
+
+    Processes everything available from ``source_path`` (one file per
+    micro-batch so cross-batch state is actually exercised) and returns
+    the deduplicated rows."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = spark.read.parquet(source_path).schema
+    name = query_name or f"dedup_{uuid.uuid4().hex[:8]}"
+    if os.path.isfile(source_path):
+        d = tempfile.mkdtemp(prefix="kbspark_stream_")
+        os.symlink(os.path.abspath(source_path),
+                   os.path.join(d, os.path.basename(source_path)))
+        source_path = d
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    keyed = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
+        .alias("fp"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).cast("int"))
+
+    def dedup(key, pdfs, state):
+        seen = set(state.get[0]) if state.exists else set()
+        kept_ids, kept_fps = [], []
+        for pdf in pdfs:
+            for doc_id, fp in zip(pdf["doc_id"], pdf["fp"]):
+                if fp not in seen:
+                    seen.add(fp)
+                    kept_ids.append(doc_id)
+                    kept_fps.append(fp)
+        state.update((list(seen),))
+        yield pd.DataFrame({"doc_id": kept_ids, "fp": kept_fps})
+
+    out = keyed.groupBy("bucket").applyInPandasWithState(
+        dedup,
+        outputStructType="doc_id long, fp string",
+        stateStructType="seen array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

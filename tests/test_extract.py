@@ -141,6 +141,24 @@ def test_pack_page_roundtrip():
     assert links == [["", "X"], [""]]
 
 
+def test_annotate_never_throws_on_garbage():
+    """Robustness: the full per-document chain absorbs arbitrary input
+    (the reference's contract — clean_text returns '' on any exception,
+    ner.py:73-76; downstream must cope with every string)."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    tok, spl = RegexTokenizer(), RegexSentenceSplitter()
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(max_size=300))
+    def run(raw):
+        rows = annotated_tokenization(raw, tok, spl, ENTITY_TYPES, REDIRECTS)
+        pack_page(rows)  # must also pack cleanly
+
+    run()
+
+
 def test_mention_stage_spark(spark):
     pages = spark.createDataFrame(synth_corpus(40, seed=3))
     entity_types, redirects = synth_dims()

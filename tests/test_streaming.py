@@ -1,0 +1,53 @@
+"""§2.G streaming: incremental aggregation equals batch, and stateful
+cross-micro-batch deduplication keeps exactly the first occurrence."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kbspark.streaming import run_incremental, streaming_exact_dedup
+
+
+def test_run_incremental_equals_batch(spark, sf01_dir):
+    def agg(df):
+        return df.groupBy("event_type").agg(F.count("*").alias("n"))
+
+    streamed = run_incremental(spark, f"{sf01_dir}/events.parquet", agg)
+    batch = agg(spark.read.parquet(f"{sf01_dir}/events.parquet"))
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    # two parquet files -> two micro-batches (maxFilesPerTrigger=1);
+    # duplicates appear within AND across batches
+    a = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha beta", "gamma", "alpha  beta"]}
+    )  # 3 is a whitespace-variant dup of 1
+    b = pd.DataFrame(
+        {"doc_id": [4, 5], "text": ["GAMMA", "delta"]}
+    )  # 4 dups 2 (case-normalized), across the batch boundary
+    src = tmp_path / "docs"
+    spark.createDataFrame(a).coalesce(1).write.mode("overwrite").parquet(
+        str(src / "batch_a")
+    )
+    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(
+        str(src / "batch_b")
+    )
+    # flatten: the file source needs one dir of files
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(
+        sorted(glob.glob(str(src / "batch_*" / "*.parquet")))
+    ):
+        shutil.copy(f, flat / f"{i:03d}.parquet")
+
+    out = streaming_exact_dedup(spark, str(flat)).toPandas()
+    kept = set(out.doc_id)
+    assert 5 in kept and len(kept) == 3
+    # exactly one of each dup-group survives
+    assert len({1, 3} & kept) == 1
+    assert len({2, 4} & kept) == 1
