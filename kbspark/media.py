@@ -83,6 +83,70 @@ def media_metadata(df: DataFrame, url_col: str = "url",
     )
 
 
+FRAME_SCHEMA = (
+    "url string, frame_idx int, frame_feature array<float>"
+)
+
+
+def frame_sample(df: DataFrame, n_frames: int = 4, decoder=None,
+                 url_col: str = "url", payload_col: str = "html") -> DataFrame:
+    """Frame-sampling stage (video/audio shape): payload → ``n_frames``
+    evenly-spaced frames, one output row per frame with its feature
+    vector. Real codec stubbed (DeterministicFakeDecoder derives each
+    frame's feature from payload-hash + frame index); the Spark-side
+    explode/batch/schema plumbing is real."""
+    decoder = decoder or DeterministicFakeDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, idxs, feats = [], [], []
+            for url, payload in zip(pdf[url_col], pdf[payload_col]):
+                data = bytes(payload)
+                for i in range(n_frames):
+                    urls.append(url)
+                    idxs.append(i)
+                    feats.append(
+                        decoder.features(data + i.to_bytes(4, "big")).tolist()
+                    )
+            yield pd.DataFrame(
+                {"url": urls, "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_feature": feats}
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "url string, n_bytes_in int, n_bytes_out int, resized binary"
+
+
+def resize(df: DataFrame, target_bytes: int = 256, decoder=None,
+           url_col: str = "url", payload_col: str = "html") -> DataFrame:
+    """Resize/transcode stage shape: payload → bounded-size derived
+    payload. Stub: deterministic truncation+digest (a real image resize
+    plugs in via ``decoder`` with a ``resize(bytes, target) -> bytes``)."""
+
+    def fake_resize(data: bytes, target: int) -> bytes:
+        digest = hashlib.sha256(data).digest()
+        return (digest * (target // len(digest) + 1))[:target]
+
+    resize_fn = getattr(decoder, "resize", None) or fake_resize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(bytes)
+            out = payloads.map(lambda b: resize_fn(b, target_bytes))
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "n_bytes_in": payloads.map(len).astype("int32"),
+                    "n_bytes_out": out.map(len).astype("int32"),
+                    "resized": out,
+                }
+            )
+
+    return df.select(url_col, payload_col).mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def media_features(df: DataFrame, decoder=None, url_col: str = "url",
                    payload_col: str = "html",
                    media_type: str = "text/html") -> DataFrame:

@@ -67,6 +67,32 @@ def t_quality_score(spark, sf_dir):
     )
 
 
+_BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+)
+_BPE_SQL = _BPE_PATTERN.replace("'", "''").replace("\\", "\\\\")
+
+
+@register(
+    "t_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_SQL}')) AS INT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def t_bpe_token_count(spark, sf_dir):
+    """BPE-ish tokenization count (GPT-2-style pretokenizer regex,
+    lookahead-free so Java regex and RE2 agree)."""
+    return spark.table("documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("int").alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
 @register(
     "t_fingerprint",
     oracle="""

@@ -126,6 +126,28 @@ def test_media_metadata_and_fake_features(spark):
     assert list(feats.loc["u1", "feature"]) != list(feats.loc["u2", "feature"])
 
 
+def test_frame_sample_and_resize(spark):
+    from kbspark.media import frame_sample, resize
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": ["u1", "u2"], "html": [b"payload-one", b"payload-two"]})
+    )
+    frames = frame_sample(df, n_frames=3).toPandas()
+    assert len(frames) == 6  # 2 docs x 3 frames
+    u1 = frames[frames.url == "u1"].sort_values("frame_idx")
+    assert list(u1.frame_idx) == [0, 1, 2]
+    # frames differ from each other but are deterministic per (doc, idx)
+    assert list(u1.iloc[0].frame_feature) != list(u1.iloc[1].frame_feature)
+    again = frame_sample(df, n_frames=3).toPandas()
+    a1 = again[again.url == "u1"].sort_values("frame_idx")
+    assert list(a1.iloc[0].frame_feature) == list(u1.iloc[0].frame_feature)
+
+    rs = resize(df, target_bytes=64).toPandas().set_index("url")
+    assert (rs.n_bytes_out == 64).all()
+    assert rs.loc["u1", "n_bytes_in"] == len(b"payload-one")
+    assert bytes(rs.loc["u1", "resized"]) != bytes(rs.loc["u2", "resized"])
+
+
 def test_real_decoder_is_stubbed():
     with pytest.raises(RealDecoderUnavailable):
         real_decoder(b"payload")
