@@ -213,6 +213,19 @@ def m_media_features(spark, sf_dir):
     return media_features(pages)
 
 
+@register("s_knn_ivf")
+def s_knn_ivf(spark, sf_dir):
+    """Rows-only: IVF ANN — deterministic md5-seeded codebook + Lloyd
+    refinement, Arrow-batched numpy assignment, probe-cell equi-join +
+    exact re-rank (recall vs brute force asserted in pytest)."""
+    from kbspark.simsearch import knn_ivf
+
+    emb = spark.table("embeddings")
+    return knn_ivf(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_centroids=8, n_probes=3
+    )
+
+
 @register("s_knn_lsh")
 def s_knn_lsh(spark, sf_dir):
     """Rows-only check: random-hyperplane LSH ANN (approximate — no exact

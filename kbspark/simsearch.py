@@ -67,6 +67,135 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return top.select("query_id", "neighbor_id", cosine.alias("cosine"))
 
 
+def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 8,
+                        n_iters: int = 2, id_col: str = "vec_id",
+                        vec_col: str = "embedding"):
+    """Deterministic IVF codebook: init = the ``n_centroids`` corpus
+    vectors with the smallest md5(id) (stable under partitioning), then
+    ``n_iters`` Lloyd steps. Assignment is an Arrow-batched numpy matmul
+    against the broadcast codebook; the mean update is a two-phase
+    (cluster, dim)-lane aggregation — both scale-safe (no n×C row blowup,
+    no driver-side corpus).
+
+    Returns a numpy array [n_centroids, dim]."""
+    import numpy as np
+
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([list(r[vec_col]) for r in seed_rows], dtype="float64")
+
+    spark = corpus.sparkSession
+    for _ in range(n_iters):
+        assigned = assign_ivf_cluster(corpus, spark, centroids,
+                                      vec_col=vec_col)
+        lanes = assigned.select(
+            "cluster", F.posexplode(_as_double(F.col(vec_col))).alias("pos", "x")
+        )
+        means = (
+            lanes.groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        for r in means:
+            centroids[r["cluster"]] = np.array(r["centroid"])
+    return centroids
+
+
+def assign_ivf_cluster(df: DataFrame, spark, centroids, vec_col: str = "embedding",
+                       out_col: str = "cluster"):
+    """Nearest-centroid assignment as a vectorized pandas UDF (numpy
+    matmul over the Arrow batch against the broadcast codebook)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype="float64"))
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(v):
+        C = bc.value  # [k, d]
+        X = np.array(v.tolist(), dtype="float64")  # [n, d]
+        # squared euclidean: argmin over centroids
+        d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        return pd.Series(d2.argmin(1).astype("int32"))
+
+    return df.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
+            n_centroids: int = 8, n_probes: int = 2, n_iters: int = 2,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            round_to: int | None = 4,
+            centroids=None) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest centroid;
+    each query probes its ``n_probes`` nearest cells and exact-reranks
+    only those candidates — the candidate set shrinks by ~n_probes/
+    n_centroids versus brute force, and the join is an equi-join on the
+    cell id."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype="float64"))
+
+    c = assign_ivf_cluster(corpus, spark, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("c_emb"),
+        "cluster",
+    )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(v):
+        C = bc.value
+        X = np.array(v.tolist(), dtype="float64")
+        d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        order = np.argsort(d2, axis=1)[:, :n_probes].astype("int32")
+        return pd.Series(list(order))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("q_emb"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cluster"),
+    )
+    scored = (
+        q.join(c, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+            ).alias("cos"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    cosine = F.round("cos", round_to) if round_to is not None else F.col("cos")
+    return top.select("query_id", "neighbor_id", cosine.alias("cosine"))
+
+
 def _hyperplane_sign(vec_col, plane_id: int, dim: int):
     """Sign of <v, h_p> where h_p is a deterministic pseudo-random
     hyperplane: component j of plane p = xxhash64('p:j') scaled to

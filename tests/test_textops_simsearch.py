@@ -109,6 +109,36 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     assert (3, 7) in approx_set or 3 not in set(approx.query_id)
 
 
+def test_knn_ivf_recall_and_planted_neighbor(spark):
+    from kbspark.simsearch import knn_ivf
+
+    emb = _embeddings(spark, n=80)
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = knn_bruteforce(queries, emb, k=3).toPandas()
+    approx = knn_ivf(queries, emb, k=3, n_centroids=6, n_probes=3).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, recall
+    # planted near-identical pair lands in the same cell -> found
+    assert (3, 7) in approx_set
+
+
+def test_knn_ivf_deterministic_across_partitionings(spark):
+    from kbspark.simsearch import knn_ivf
+
+    emb = _embeddings(spark, n=60)
+    q = emb.filter(F.col("vec_id") < 10)
+    a = knn_ivf(q, emb, k=3, n_centroids=5, n_probes=2).toPandas()
+    b = knn_ivf(q.repartition(7), emb.repartition(5), k=3, n_centroids=5,
+                n_probes=2).toPandas()
+    key = ["query_id", "neighbor_id"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True),
+    )
+
+
 def test_media_metadata_and_fake_features(spark):
     df = spark.createDataFrame(
         pd.DataFrame(
