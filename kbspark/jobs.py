@@ -10,6 +10,14 @@ the same dataflow shape as the reference's tag-wiki-entities2sqlite trace
 
 from __future__ import annotations
 
+import os
+import sys
+
+# spark-submit runs this file as a script: make the package importable
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _PKG_PARENT not in sys.path:
+    sys.path.insert(0, _PKG_PARENT)
+
 from pyspark.sql import DataFrame, SparkSession
 
 from kbspark.corpus import dims_from_documents, pages_from_documents
@@ -94,3 +102,44 @@ def linking_quality_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kbspark.linking import linking_quality
 
     return linking_quality(entity_linking_job(spark, sf_dir))
+
+
+def main(argv: list[str] | None = None) -> None:
+    """spark-submit entry point (north rule deployment path):
+
+        spark-submit --py-files kbspark.zip -m ... kbspark/jobs.py \\
+            kb-build --sf-dir /root/testdata/sf0.01 --warehouse /tmp/wh
+
+    Subcommands: kb-build (four graph tables with lineage/resume),
+    el (entity-linking table), el-quality (P/R row)."""
+    import argparse
+    import json
+
+    ap = argparse.ArgumentParser(prog="kbspark-jobs")
+    ap.add_argument("job", choices=["kb-build", "el", "el-quality", "triples"])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--warehouse", default="/tmp/kbspark_warehouse")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from kbspark.session import get_spark
+
+    spark = get_spark(app=f"kbspark-{args.job}", cpus=args.cpus)
+    if args.job == "kb-build":
+        from kbspark.kb import build_knowledge_base
+
+        res = build_knowledge_base(spark, args.sf_dir, args.warehouse)
+        print(json.dumps({"tables": res["tables"], "stage": res["stage"]}))
+    elif args.job == "el":
+        df = entity_linking_job(spark, args.sf_dir)
+        print(json.dumps({"rows": df.count()}))
+    elif args.job == "el-quality":
+        row = linking_quality_job(spark, args.sf_dir).collect()[0]
+        print(json.dumps(row.asDict()))
+    elif args.job == "triples":
+        df = flagship_triples(spark, args.sf_dir)
+        print(json.dumps({"rows": df.count()}))
+
+
+if __name__ == "__main__":
+    main()
