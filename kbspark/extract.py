@@ -374,6 +374,40 @@ TAGGED_SCHEMA = (
 )
 
 
+def tagged_json_view(tagged_df):
+    """Byte-compat view of the tagged table: the typed
+    array<array<string>> columns serialized exactly as the reference's
+    ``json.dumps`` (ner.py:196 — note json.dumps uses ', '/': '
+    separators, unlike Spark's ``to_json``), for fixture-level byte
+    comparison. Engine-internal consumers keep the typed arrays."""
+    import json
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "page_title": pdf["page_title"],
+                    "text": [
+                        json.dumps([list(s) for s in doc]) for doc in pdf["text"]
+                    ],
+                    "tags": [
+                        json.dumps([list(s) for s in doc]) for doc in pdf["tags"]
+                    ],
+                    "link_titles": [
+                        json.dumps([list(s) for s in doc])
+                        for doc in pdf["link_titles"]
+                    ],
+                }
+            )
+
+    return tagged_df.mapInPandas(
+        run,
+        schema="url string, page_title string, text string, tags string, "
+               "link_titles string",
+    )
+
+
 def clean_pages(pages_df, text_col: str = "text"):
     """E1 as a Spark stage: pages -> (url, cleaned). Narrow, zero-shuffle;
     one Arrow batch in, one out."""

@@ -57,6 +57,55 @@ def test_mention_stage_is_single_narrow_stage(spark):
     assert "MapInPandas" in plan
 
 
+def test_triple_build_has_single_shuffle(spark):
+    """The flagship dataflow: extraction is narrow; the ONLY wide
+    operation is the pre-aggregated triple dedup (SURVEY §3.1 'one narrow
+    stage, zero shuffles' + one agg)."""
+    from kbspark.corpus import synth_corpus, synth_dims
+    from kbspark.triples import build_triples
+
+    pages = spark.createDataFrame(synth_corpus(20, seed=4))
+    entity_types, redirects = synth_dims()
+    mentions = mention_stage(pages, spark, entity_types, redirects)
+    triples = build_triples(spark, mentions, entity_types, redirects)
+    plan = _plan(triples)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, plan
+    assert "BroadcastHashJoin" in plan  # dim join broadcast, not shuffled
+
+
+def test_tagged_json_view_byte_compat(spark):
+    """E6 JSON view serializes exactly like the reference's json.dumps
+    (ner.py:196)."""
+    import json
+
+    from kbspark.corpus import synth_corpus, synth_dims
+    from kbspark.extract import (
+        RegexSentenceSplitter,
+        RegexTokenizer,
+        annotate_stage,
+        annotated_tokenization,
+        pack_page,
+        tagged_json_view,
+    )
+
+    pages_pdf = synth_corpus(10, seed=8)
+    entity_types, redirects = synth_dims()
+    tagged = annotate_stage(
+        spark.createDataFrame(pages_pdf), spark, entity_types, redirects
+    )
+    view = tagged_json_view(tagged).toPandas().set_index("url")
+
+    tok, spl = RegexTokenizer(), RegexSentenceSplitter()
+    for _, row in pages_pdf.iterrows():
+        rows = annotated_tokenization(row["text"], tok, spl, entity_types,
+                                      redirects)
+        text, tags, links = pack_page(rows)
+        assert view.loc[row["url"], "text"] == json.dumps(text)
+        assert view.loc[row["url"], "tags"] == json.dumps(tags)
+        assert view.loc[row["url"], "link_titles"] == json.dumps(links)
+
+
 def test_no_row_at_a_time_python_udfs():
     """The no-per-row-Python invariant (BASELINE.json input_hint): every
     Python crossing is a pandas UDF / mapInPandas (BatchEval / ArrowEval),
