@@ -42,6 +42,10 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
     hash family h ∈ [0, n_hashes), min over shingles of
     md5('<h>:<shingle>'). Two-phase agg with map-side partials."""
     sh = shingles(docs, id_col=id_col, text_col=text_col, n=shingle_n)
+    return _minhash_from_shingles(sh, n_hashes=n_hashes)
+
+
+def _minhash_from_shingles(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     families = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
     hashed = exploded.select(
@@ -73,7 +77,10 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
     would otherwise create 10^12 candidate pairs.
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(docs, n_hashes=n_hashes, shingle_n=shingle_n)
+    # shingles feed both the signature build and the exact-Jaccard
+    # verification — materialize once
+    sh = shingles(docs, n=shingle_n).persist()
+    sig = _minhash_from_shingles(sh, n_hashes=n_hashes)
     bands = (
         sig.withColumn("band_id", (F.col("band") / rows_per_band).cast("int"))
         .groupBy("doc_id", "band_id")
@@ -108,7 +115,6 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
         .distinct()
     )
 
-    sh = shingles(docs, n=shingle_n)
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     jac = (
@@ -180,45 +186,53 @@ def _hamming_str(a, b):
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: block on 4 16-bit signature substrings (a
+    """SimHash near-dup pairs: block on 4 16-bit signature sub-words (a
     pair within Hamming distance 3 shares at least one block —
     pigeonhole), equi-join on block key (never a cross join), verify with
-    exact Hamming distance."""
+    exact Hamming distance.
+
+    Physical shape: block keys are 16-bit INTEGERS (bit-string parsed
+    once per doc), Hamming = Σ bit_count(xor) over the 4 words (cheap
+    codegen'd bit ops, not char zips); duplicate candidates (pairs
+    colliding in several blocks, ≤4) dedup on the id pair before the
+    hamming filter."""
     sig = simhash64(docs)
-    blocks = sig.select(
+    words = F.array(
+        *[
+            F.conv(F.substring("simhash", i * 16 + 1, 16), 2, 10).cast("long")
+            for i in range(4)
+        ]
+    )
+    keyed = sig.select("doc_id", words.alias("blocks"))
+    blocks = keyed.select(
         "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_id"),
-                        F.substring("simhash", i * 16 + 1, 16).alias("block_key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("blk"),
-    ).select("doc_id", "simhash", F.col("blk.block_id").alias("block_id"),
-             F.col("blk.block_key").alias("block_key"))
-    a, b = blocks.alias("a"), blocks.alias("b")
+        "blocks",
+        F.posexplode("blocks").alias("block_id", "block_key"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("blocks").alias("blocks_a"),
+        "block_id", "block_key",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("blocks").alias("blocks_b"),
+        "block_id", "block_key",
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.block_id") == F.col("b.block_id"))
-            & (F.col("a.block_key") == F.col("b.block_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+        a.join(b, ["block_id", "block_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("blocks_a"),
+            F.col("blocks_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
     return cand.select(
         "doc_a",
         "doc_b",
-        _hamming_str(F.col("sig_a"), F.col("sig_b")).cast("int").alias("hamming"),
+        hamming.cast("int").alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
