@@ -163,6 +163,29 @@ def entity_context_profiles(spans: DataFrame, top_k: int = 50) -> DataFrame:
     )
 
 
+def filter_mentions(
+    mentions: DataFrame,
+    entity_types: set[str] | None = None,
+    min_count_per_doc: int | None = None,
+) -> DataFrame:
+    """The reference's pre-EL selection filters (ned.py:13-14, 25-26,
+    61-65): keep only mentions of the given types, and only documents
+    with at least ``min_count_per_doc`` mentions (a groupBy-having
+    semi-join instead of the reference's per-page dict check)."""
+    out = mentions
+    if entity_types is not None:
+        out = out.filter(F.col("etype").isin(*entity_types))
+    if min_count_per_doc is not None:
+        eligible = (
+            out.groupBy("on_page_id")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") >= min_count_per_doc)
+            .select("on_page_id")
+        )
+        out = out.join(eligible, "on_page_id", "left_semi")
+    return out
+
+
 def link_entities(
     mentions: DataFrame,
     aliases: DataFrame,

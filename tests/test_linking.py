@@ -99,6 +99,27 @@ def test_linking_end_to_end_pr(spark):
     assert q["recall"] >= 0.95, q
 
 
+def test_filter_mentions_types_and_min_count(spark):
+    from kbspark.linking import filter_mentions
+
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "on_page_id": ["p1", "p1", "p1", "p2"],
+                "entity_id": ["a-PER-0", "b-LOC-1", "c-ORG-2", "d-PER-0"],
+                "etype": ["PER", "LOC", "ORG", "PER"],
+                "surface": ["a", "b", "c", "d"],
+            }
+        )
+    )
+    typed = filter_mentions(spans, entity_types={"PER", "LOC"}).toPandas()
+    assert set(typed.etype) == {"PER", "LOC"} and len(typed) == 3
+    both = filter_mentions(
+        spans, entity_types={"PER", "LOC"}, min_count_per_doc=2
+    ).toPandas()
+    assert set(both.on_page_id) == {"p1"} and len(both) == 2
+
+
 def test_sentinel_rows_for_unknown_mentions(spark):
     spans = spark.createDataFrame(
         pd.DataFrame(
