@@ -29,7 +29,6 @@ deterministic under any partitioning.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
 from urllib.parse import unquote
 
 import pandas as pd

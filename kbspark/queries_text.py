@@ -4,7 +4,6 @@ for the reusable implementations these call)."""
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kbspark.contract import register
