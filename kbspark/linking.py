@@ -207,9 +207,9 @@ def link_entities(
         "left",
     )
 
-    matched = cand.filter(F.col("page_title").isNotNull())
+    matched_flag = F.col("page_title").isNotNull()
     if profiles is not None:
-        matched = matched.join(F.broadcast(profiles), "page_title", "left")
+        cand = cand.join(F.broadcast(profiles), "page_title", "left")
         ctx = F.array_distinct(F.split(F.lower(F.col("context")), r"[\s_]+"))
         prof = F.coalesce(F.col("profile"), F.array())
         inter = F.size(F.array_intersect(ctx, prof)).cast("double")
@@ -219,48 +219,52 @@ def link_entities(
         context_sim = inter / denom  # overlap coefficient
     else:
         context_sim = _token_jaccard(F.col("context"), F.col("page_title"))
-    scored = matched.withColumn(
+    scored = cand.withColumn(
         "proba",
-        F.round(
-            (1 - context_weight) * F.coalesce(F.col("proba"), F.lit(0.0))
-            + context_weight * context_sim,
-            6,
-        ),
-    )
-    w = W.partitionBy("on_page_id", "entity_id").orderBy(
-        F.col("proba").desc(), F.col("page_title").asc()
-    )
-    ranked = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("proba") >= threshold)
-        .select(
-            "entity_id",
-            "page_title",
-            F.coalesce(F.col("wikidata"), F.col("QID")).alias("wikidata"),
-            "proba",
-            "on_page_id",
-            "on_page",
-            "gt",
-            "rank",
-        )
+        F.when(
+            matched_flag,
+            F.round(
+                (1 - context_weight) * F.coalesce(F.col("proba"), F.lit(0.0))
+                + context_weight * context_sim,
+                6,
+            ),
+        ).otherwise(F.lit(None)),
     )
 
-    # sentinel rows for mentions with no surviving candidate (ned.py:81)
-    satisfied = ranked.select("on_page_id", "entity_id").distinct()
-    unmatched = (
-        mentions.join(satisfied, ["on_page_id", "entity_id"], "left_anti")
-        .select(
-            "entity_id",
-            F.lit("-").alias("page_title"),
-            F.lit("-").alias("wikidata"),
-            F.lit(0.0).alias("proba"),
-            "on_page_id",
-            "on_page",
-            "gt",
-            F.lit(1).alias("rank"),
-        )
+    # one windowed pass serves BOTH the ranking and the sentinel rows
+    # (ned.py:81): a mention with no candidate at/above threshold emits
+    # one '-' row — no second anti-join over the mention table.
+    mention_w = W.partitionBy("on_page_id", "entity_id")
+    w = mention_w.orderBy(
+        F.col("proba").desc_nulls_last(), F.col("page_title").asc_nulls_last()
     )
-    return ranked.unionByName(unmatched)
+    ok = matched_flag & (F.col("proba") >= threshold)
+    scored = scored.withColumn("rank", F.row_number().over(w)).withColumn(
+        "_n_ok", F.sum(F.when(ok, 1).otherwise(0)).over(mention_w)
+    )
+    ranked = scored.filter(ok).select(
+        "entity_id",
+        "page_title",
+        F.coalesce(F.col("wikidata"), F.col("QID")).alias("wikidata"),
+        "proba",
+        "on_page_id",
+        "on_page",
+        "gt",
+        "rank",
+    )
+    sentinels = scored.filter(
+        (F.col("_n_ok") == 0) & (F.col("rank") == 1)
+    ).select(
+        "entity_id",
+        F.lit("-").alias("page_title"),
+        F.lit("-").alias("wikidata"),
+        F.lit(0.0).alias("proba"),
+        "on_page_id",
+        "on_page",
+        "gt",
+        F.lit(1).alias("rank"),
+    )
+    return ranked.unionByName(sentinels)
 
 
 def linking_quality(el: DataFrame) -> DataFrame:
