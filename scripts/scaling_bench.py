@@ -117,6 +117,13 @@ def main() -> None:
                 summary["N"], summary["4N"] = prior["N"], prior["4N"]
                 summary["scaling_efficiency"] = prior["scaling_efficiency"]
                 summary["pass"] = prior["scaling_efficiency"] >= 0.8
+            # carry the 8/32 supplementary forward when this run skipped it
+            prior_sup = prior.get("supplementary_8_32") or {}
+            if eff_8_32 is None and prior_sup.get("efficiency") is not None:
+                summary["supplementary_8_32"] = prior_sup
+                eff_8_32 = prior_sup["efficiency"]
+                results[8] = prior_sup.get("N8") or {}
+                results[32] = prior_sup.get("N32") or {}
         except (json.JSONDecodeError, KeyError):
             pass
     summary["history"] = history
