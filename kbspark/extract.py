@@ -348,19 +348,30 @@ def pack_page(rows) -> tuple[list[list[str]], list[list[str]], list[list[str]]]:
 # Spark stages (Arrow-batched; broadcast dims = the D1 analog)
 # ---------------------------------------------------------------------------
 
-# Module-level lazy singletons: initialized once per Python worker, the
-# direct analog of the reference's pool initializer (ner.py:199-207 via
-# prun initializer, ner.py:292-293).
-_WORKER_TOKENIZER: RegexTokenizer | None = None
+# Per-worker lazy tokenizer cache, keyed by language: initialized once
+# per (Python worker, lang), the direct analog of the reference's pool
+# initializer (ner.py:199-207 via prun initializer, ner.py:292-293) —
+# extended per SURVEY §2 E3 for the multilingual web corpus (the
+# reference hard-codes de_CMC; our input carries a lang column).
+_WORKER_TOKENIZERS: dict[str, object] = {}
 _WORKER_SPLITTER: RegexSentenceSplitter | None = None
 
 
-def _worker_nlp() -> tuple[RegexTokenizer, RegexSentenceSplitter]:
-    global _WORKER_TOKENIZER, _WORKER_SPLITTER
-    if _WORKER_TOKENIZER is None:
-        _WORKER_TOKENIZER = RegexTokenizer(split_camel_case=True)
+def default_tokenizer_factory(lang: str):
+    """One tokenizer instance per language. The regex fallback is
+    language-agnostic; a SoMaJo deployment maps lang -> model name here
+    (de->de_CMC, en->en_PTB, ...)."""
+    return RegexTokenizer(split_camel_case=True)
+
+
+def _worker_nlp(lang: str = "und", tokenizer_factory=None):
+    global _WORKER_SPLITTER
+    factory = tokenizer_factory or default_tokenizer_factory
+    if lang not in _WORKER_TOKENIZERS:
+        _WORKER_TOKENIZERS[lang] = factory(lang)
+    if _WORKER_SPLITTER is None:
         _WORKER_SPLITTER = RegexSentenceSplitter()
-    return _WORKER_TOKENIZER, _WORKER_SPLITTER
+    return _WORKER_TOKENIZERS[lang], _WORKER_SPLITTER
 
 
 CLEANED_SCHEMA = "url string, cleaned string"
@@ -459,22 +470,28 @@ def mention_stage(pages_df, spark, entity_types: dict, redirect_targets: dict,
 
 
 def annotate_stage(pages_df, spark, entity_types: dict, redirect_targets: dict,
-                   text_col: str = "text", title_col: str = "url"):
+                   text_col: str = "text", title_col: str = "url",
+                   lang_col: str | None = None, tokenizer_factory=None):
     """E1→E6 fused: pages -> tagged table with typed nested sentence
     arrays (the reference's `tagged` table, ner.py:196-197/274-276, minus
-    the JSON encoding). Narrow, zero-shuffle."""
+    the JSON encoding). Narrow, zero-shuffle. With ``lang_col``, each
+    document is tokenized by a per-language tokenizer instance from
+    ``tokenizer_factory`` (init-once per worker per lang)."""
     sc = spark.sparkContext
     bc_types = sc.broadcast(entity_types)
     bc_redirects = sc.broadcast(redirect_targets)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tokenizer, splitter = _worker_nlp()
         etypes = bc_types.value
         redirects = bc_redirects.value
         for pdf in batches:
+            langs = pdf[lang_col] if lang_col else ["und"] * len(pdf)
             out = {"url": [], "page_title": [], "text": [], "tags": [],
                    "link_titles": []}
-            for url, title, raw in zip(pdf["url"], pdf[title_col], pdf[text_col]):
+            for url, title, raw, lang in zip(
+                pdf["url"], pdf[title_col], pdf[text_col], langs
+            ):
+                tokenizer, splitter = _worker_nlp(lang, tokenizer_factory)
                 rows = annotated_tokenization(
                     raw, tokenizer, splitter, etypes, redirects
                 )
@@ -486,5 +503,10 @@ def annotate_stage(pages_df, spark, entity_types: dict, redirect_targets: dict,
                 out["link_titles"].append(link_titles)
             yield pd.DataFrame(out)
 
-    cols = ["url", text_col] if title_col == "url" else ["url", title_col, text_col]
+    cols = ["url"]
+    if title_col != "url":
+        cols.append(title_col)
+    cols.append(text_col)
+    if lang_col:
+        cols.append(lang_col)
     return pages_df.select(*cols).mapInPandas(run, schema=TAGGED_SCHEMA)

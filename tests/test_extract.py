@@ -141,6 +141,36 @@ def test_pack_page_roundtrip():
     assert links == [["", "X"], [""]]
 
 
+def test_annotate_stage_lang_keyed_tokenizers(spark):
+    """E3: tokenizer instances are created per language via the factory
+    seam (SURVEY §2 E3 'tokenizer keyed by lang')."""
+    from kbspark.extract import annotate_stage
+
+    pdf = synth_corpus(12, seed=2)  # langs de/fr/en
+    pages = spark.createDataFrame(pdf)
+    entity_types, redirects = synth_dims()
+
+    made = []
+
+    class TrackingTokenizer(RegexTokenizer):
+        def __init__(self, lang):
+            super().__init__(split_camel_case=True)
+            made.append(lang)
+
+    tagged = annotate_stage(
+        pages, spark, entity_types, redirects,
+        lang_col="lang", tokenizer_factory=TrackingTokenizer,
+    ).toPandas()
+    assert len(tagged) == 12
+    # same output as the lang-agnostic path (regex tokenizer is
+    # language-independent)
+    base = annotate_stage(pages, spark, entity_types, redirects).toPandas()
+    a = tagged.sort_values("url").reset_index(drop=True)
+    b = base.sort_values("url").reset_index(drop=True)
+    assert (a["text"].astype(str) == b["text"].astype(str)).all()
+    assert (a["tags"].astype(str) == b["tags"].astype(str)).all()
+
+
 def test_annotate_never_throws_on_garbage():
     """Robustness: the full per-document chain absorbs arbitrary input
     (the reference's contract — clean_text returns '' on any exception,
