@@ -50,7 +50,10 @@ def _load_views(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
-# Import side-effect registration of all query groups.
-from kbspark import queries_relational  # noqa: E402,F401
-from kbspark import queries_text  # noqa: E402,F401
+# Import side-effect registration of all query groups. queries_graph
+# registers FIRST: the driver records entries in dict order under a time
+# budget, and the kg_*/graph entries were the ones dropped in round 1 —
+# they must land in the CORRECTNESS file even if the tail gets cut.
 from kbspark import queries_graph  # noqa: E402,F401
+from kbspark import queries_text  # noqa: E402,F401
+from kbspark import queries_relational  # noqa: E402,F401

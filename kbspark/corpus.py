@@ -217,25 +217,101 @@ def pages_from_documents(spark, sf_dir: str):
     return docs.select("doc_id", "text", "lang").mapInPandas(run, schema=PAGES_SCHEMA)
 
 
-def dims_from_documents(spark, sf_dir: str) -> tuple[dict[str, str], dict[str, str]]:
-    """Derive the broadcast entity/redirect dictionaries from the corpus
-    vocabulary: every word of length >= 4 is an entity page title
-    (capitalized), typed by a stable hash; ``<Title>_redir`` redirects to
-    ``<Title>``. Small dim (vocab-sized) — collected to the driver and
-    broadcast, exactly like the reference ships all_entities/redirects to
-    its worker pool (ner.py:292-293)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+#: above this vocabulary size the dict path would ship an unbounded
+#: corpus-derived dictionary to the driver (10^8-10^9 distinct tokens on a
+#: 100-TB web corpus -> driver OOM); the flagship auto-switches to the
+#: DataFrame dim path (``dim_frames_from_documents`` + relational J5).
+DIM_COLLECT_CAP = 500_000
+
+#: per-process memo of collected dims, keyed by sf_dir (the driver runs
+#: many contract queries in one process; /root/testdata is immutable, so
+#: re-deriving the same vocab dictionary per query is pure waste).
+_DIM_CACHE: dict[tuple[str, int], tuple[dict[str, str], dict[str, str]]] = {}
+
+
+def _entity_type_of(title: str) -> str:
+    """Stable TYPE hash used by both the dict and DataFrame dim paths
+    (and inverted by the kg_* DuckDB oracles)."""
+    return ("PER", "LOC", "ORG")[sum(title.encode()) % 3]
+
+
+def vocab_titles(spark, sf_dir: str):
+    """Distinct >=4-char capitalized corpus vocabulary as a DataFrame
+    (column ``title``) — the shared input of both dim paths."""
     from pyspark.sql import functions as F
 
-    words = (
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
         docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
         .filter(F.length("w") >= 4)
         .select(F.initcap("w").alias("title"))
         .distinct()
     )
-    titles = [r["title"] for r in words.collect()]
-    entity_types = {
-        t: ("PER", "LOC", "ORG")[sum(t.encode()) % 3] for t in sorted(titles)
-    }
-    redirect_targets = {f"{t}_redir": t for t in sorted(titles)}
+
+
+def dim_frames_from_documents(spark, sf_dir: str):
+    """The scale path: entity/redirect dims as DataFrames — nothing is
+    ever collected to the driver. Returns ``(entity_dim, redirect_dim)``
+    with entity_dim = (page_title, TYPE, QID) and redirect_dim =
+    (alias, page_title). TYPE is computed inside an Arrow batch so its
+    byte-sum semantics stay identical to the dict path."""
+    from pyspark.sql import functions as F
+
+    from kbspark.triples import qid_col
+
+    def typed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "page_title": pdf["title"],
+                    "TYPE": [_entity_type_of(t) for t in pdf["title"]],
+                }
+            )
+
+    ent = vocab_titles(spark, sf_dir).mapInPandas(
+        typed, schema="page_title string, TYPE string"
+    ).withColumn("QID", qid_col())
+    red = ent.select(
+        F.concat(F.col("page_title"), F.lit("_redir")).alias("alias"),
+        "page_title",
+    )
+    return ent, red
+
+
+def try_dims_from_documents(
+    spark, sf_dir: str, max_rows: int | None = None
+) -> tuple[dict[str, str], dict[str, str]] | None:
+    """Dict dims if the vocabulary fits under ``max_rows``, else None
+    (caller switches to ``dim_frames_from_documents``). One Spark job:
+    ``limit(max_rows + 1)`` bounds driver memory — we never collect an
+    unbounded vocabulary just to discover it was too big."""
+    if max_rows is None:
+        max_rows = DIM_COLLECT_CAP
+    key = (sf_dir, max_rows)
+    if key in _DIM_CACHE:
+        return _DIM_CACHE[key]
+    rows = vocab_titles(spark, sf_dir).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    titles = sorted(r["title"] for r in rows)
+    entity_types = {t: _entity_type_of(t) for t in titles}
+    redirect_targets = {f"{t}_redir": t for t in titles}
+    _DIM_CACHE[key] = (entity_types, redirect_targets)
     return entity_types, redirect_targets
+
+
+def dims_from_documents(spark, sf_dir: str) -> tuple[dict[str, str], dict[str, str]]:
+    """Derive the broadcast entity/redirect dictionaries from the corpus
+    vocabulary: every word of length >= 4 is an entity page title
+    (capitalized), typed by a stable hash; ``<Title>_redir`` redirects to
+    ``<Title>``. Dictionary-sized dims only — above DIM_COLLECT_CAP this
+    raises; use ``dim_frames_from_documents`` (the reference ships
+    all_entities/redirects dicts to its worker pool, ner.py:292-293, but
+    its dictionary is a fixed curated KB, not corpus-scaling)."""
+    dims = try_dims_from_documents(spark, sf_dir)
+    if dims is None:
+        raise ValueError(
+            f"corpus vocabulary exceeds DIM_COLLECT_CAP={DIM_COLLECT_CAP}; "
+            "use dim_frames_from_documents (DataFrame dims, no collect)"
+        )
+    return dims

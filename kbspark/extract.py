@@ -469,6 +469,67 @@ def mention_stage(pages_df, spark, entity_types: dict, redirect_targets: dict,
     return pages_df.select("url", text_col).mapInPandas(run, schema=MENTIONS_SCHEMA)
 
 
+def mention_stage_raw(pages_df, spark, text_col: str = "text"):
+    """E1+E2 without dictionary resolution: one row per raw link target.
+    The scale-path front half of J5 — pass the output through
+    ``resolve_mentions_frames`` when the dictionary is too large to ship
+    as a Python dict (it is just ``mention_stage`` with empty dims, which
+    leaves page_title at the raw link target and entity_type at 'O')."""
+    return mention_stage(pages_df, spark, {}, {}, text_col=text_col)
+
+
+def resolve_mentions_frames(raw_mentions, entity_dim, redirect_dim,
+                            broadcast_dims: bool = True):
+    """J5 as a relational plan — the 100-TB path for corpus-scaling
+    dictionaries (no driver collect, no per-worker Python dict): three
+    dim joins encode exactly ``resolve_title``'s precedence
+    (ner.py:100-114 — entity dict first, then one redirect hop, then the
+    entity dict on the hop target).
+
+    ``raw_mentions``: output of ``mention_stage_raw`` (page_title = raw
+    link target). ``entity_dim``: (page_title, TYPE[, ...]);
+    ``redirect_dim``: (alias, page_title). With ``broadcast_dims`` the
+    dims ride broadcast joins (dictionary-sized); set False to let the
+    planner/AQE pick a shuffle join for dims beyond broadcast budgets —
+    either way the semantics are identical and the fact side never
+    collects."""
+    from pyspark.sql import functions as F
+
+    ent1 = entity_dim.select(
+        F.col("page_title").alias("_t1"), F.col("TYPE").alias("_ty1")
+    )
+    red = redirect_dim.select(
+        F.col("alias").alias("_ra"), F.col("page_title").alias("_rt")
+    )
+    ent2 = entity_dim.select(
+        F.col("page_title").alias("_t2"), F.col("TYPE").alias("_ty2")
+    )
+    if broadcast_dims:
+        ent1, red, ent2 = F.broadcast(ent1), F.broadcast(red), F.broadcast(ent2)
+    joined = (
+        raw_mentions.join(ent1, raw_mentions["page_title"] == F.col("_t1"), "left")
+        .join(red, raw_mentions["page_title"] == F.col("_ra"), "left")
+        .join(ent2, F.col("_rt") == F.col("_t2"), "left")
+    )
+    resolved_title = (
+        F.when(F.col("_ty1").isNotNull(), F.col("page_title"))
+        .when(F.col("_rt").isNotNull(), F.col("_rt"))
+        .otherwise(F.col("page_title"))
+    )
+    resolved_type = (
+        F.when(F.col("_ty1").isNotNull(), F.col("_ty1"))
+        .when(F.col("_rt").isNotNull(), F.coalesce(F.col("_ty2"), F.lit("O")))
+        .otherwise(F.lit("O"))
+    )
+    return joined.select(
+        "url",
+        "mention_pos",
+        "surface",
+        resolved_title.alias("page_title"),
+        resolved_type.alias("entity_type"),
+    )
+
+
 def annotate_stage(pages_df, spark, entity_types: dict, redirect_targets: dict,
                    text_col: str = "text", title_col: str = "url",
                    lang_col: str | None = None, tokenizer_factory=None):

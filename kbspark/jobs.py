@@ -20,17 +20,42 @@ if _PKG_PARENT not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from kbspark.corpus import dims_from_documents, pages_from_documents
-from kbspark.extract import annotate_stage, mention_stage
+from kbspark.corpus import (
+    dim_frames_from_documents,
+    dims_from_documents,
+    pages_from_documents,
+    try_dims_from_documents,
+)
+from kbspark.extract import (
+    annotate_stage,
+    mention_stage,
+    mention_stage_raw,
+    resolve_mentions_frames,
+)
 from kbspark.session import pin_session_conf
-from kbspark.triples import build_triples
+from kbspark.triples import build_triples, build_triples_from_frames
 
 
-def flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → pages → mentions → triples."""
+def flagship_triples(spark: SparkSession, sf_dir: str,
+                     dim_collect_cap: int | None = None) -> DataFrame:
+    """documents → pages → mentions → triples.
+
+    Dim strategy is size-gated: a dictionary-sized vocabulary collects to
+    broadcast dicts (in-batch J5 probe, zero extra joins — the reference's
+    worker-dict shape, ner.py:292-293); above the cap nothing is collected
+    and J5 resolves via DataFrame dim joins (``resolve_mentions_frames``)
+    — the 100-TB path where the corpus-derived dictionary is itself big
+    data."""
     pin_session_conf(spark)
     pages = pages_from_documents(spark, sf_dir)
-    entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
+    kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
+    dims = try_dims_from_documents(spark, sf_dir, **kw)
+    if dims is None:
+        entity_dim, redirect_dim = dim_frames_from_documents(spark, sf_dir)
+        raw = mention_stage_raw(pages, spark)
+        mentions = resolve_mentions_frames(raw, entity_dim, redirect_dim)
+        return build_triples_from_frames(mentions, entity_dim, redirect_dim)
+    entity_types, redirect_targets = dims
     mentions = mention_stage(pages, spark, entity_types, redirect_targets)
     return build_triples(spark, mentions, entity_types, redirect_targets)
 

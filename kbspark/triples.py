@@ -46,14 +46,17 @@ def entity_dim_df(spark, entity_types: dict[str, str]) -> DataFrame:
     return spark.createDataFrame(pdf).withColumn("QID", qid_col())
 
 
-def mention_triples(mentions: DataFrame, entity_dim: DataFrame) -> DataFrame:
+def mention_triples(mentions: DataFrame, entity_dim: DataFrame,
+                    broadcast_dim: bool = True) -> DataFrame:
     """Resolved mentions -> (url, 'mentions', QID) triples with an
-    occurrence count. Broadcast join (dim side is dictionary-sized);
-    dedup happens as a count aggregation so the shuffle carries
-    pre-combined partial rows, not raw mentions."""
+    occurrence count. Broadcast join (dim side is dictionary-sized;
+    ``broadcast_dim=False`` lets the planner shuffle-join a dim beyond
+    broadcast budgets); dedup happens as a count aggregation so the
+    shuffle carries pre-combined partial rows, not raw mentions."""
+    dim = F.broadcast(entity_dim) if broadcast_dim else entity_dim
     return (
         mentions.filter(F.col("entity_type") != "O")
-        .join(F.broadcast(entity_dim), "page_title")
+        .join(dim, "page_title")
         .groupBy(
             F.col("url").alias("subj"),
             F.lit("mentions").alias("pred"),
@@ -95,6 +98,34 @@ def redirect_triples(spark, redirect_targets: dict[str, str]) -> DataFrame:
         F.lit(1).cast("long").alias("n_occurrences"),
         F.col("subj").alias("src_url"),
     )
+
+
+def redirect_triples_frame(redirect_dim: DataFrame) -> DataFrame:
+    """(alias, 'redirects_to', target) from a DataFrame redirect dim
+    (alias, page_title) — the no-collect analog of ``redirect_triples``."""
+    return redirect_dim.select(
+        F.col("alias").alias("subj"),
+        F.lit("redirects_to").alias("pred"),
+        F.col("page_title").alias("obj"),
+        F.lit(1).cast("long").alias("n_occurrences"),
+        F.col("alias").alias("src_url"),
+    )
+
+
+def build_triples_from_frames(
+    mentions: DataFrame,
+    entity_dim: DataFrame,
+    redirect_dim: DataFrame,
+) -> DataFrame:
+    """``build_triples`` for DataFrame dims (the 100-TB flagship path —
+    nothing dictionary-shaped ever reaches the driver). ``entity_dim``
+    must carry (page_title, TYPE, QID); ``redirect_dim`` (alias,
+    page_title)."""
+    dim = entity_dim.select("page_title", "TYPE", "QID")
+    out = mention_triples(mentions, dim, broadcast_dim=False)
+    out = out.unionByName(entity_triples(dim))
+    out = out.unionByName(redirect_triples_frame(redirect_dim))
+    return out.select("subj", "pred", "obj", "n_occurrences", "src_url")
 
 
 def build_triples(

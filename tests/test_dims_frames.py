@@ -1,0 +1,76 @@
+"""Flagship dim scale path (VERDICT r01 #7): above DIM_COLLECT_CAP the
+pipeline must not collect the vocabulary to the driver — J5 resolves via
+DataFrame dim joins — and the result must be value-identical to the
+dict/broadcast path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kbspark.corpus import (
+    dim_frames_from_documents,
+    dims_from_documents,
+    try_dims_from_documents,
+)
+from kbspark.extract import (
+    mention_stage,
+    mention_stage_raw,
+    resolve_mentions_frames,
+)
+from kbspark.jobs import flagship_triples
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_frame_path_matches_dict_path(spark, sf001_dir):
+    """Force the frame path with a tiny cap; triples must be identical."""
+    dict_out = _rows(flagship_triples(spark, sf001_dir))
+    frame_out = _rows(flagship_triples(spark, sf001_dir, dim_collect_cap=3))
+    assert frame_out == dict_out
+    assert len(frame_out) > 0
+
+
+def test_resolution_precedence_matches_resolve_title(spark, sf001_dir):
+    """resolve_mentions_frames encodes resolve_title's precedence exactly
+    (entity dict first, then one redirect hop, then dict-on-target)."""
+    from kbspark.corpus import pages_from_documents
+
+    pages = pages_from_documents(spark, sf001_dir)
+    entity_types, redirect_targets = dims_from_documents(spark, sf001_dir)
+    ent, red = dim_frames_from_documents(spark, sf001_dir)
+
+    via_dict = _rows(mention_stage(pages, spark, entity_types, redirect_targets))
+    via_frames = _rows(
+        resolve_mentions_frames(mention_stage_raw(pages, spark), ent, red)
+    )
+    assert via_frames == via_dict
+
+
+def test_oversized_vocab_never_collects(spark, sf001_dir):
+    """try_dims returns None above the cap (limit(cap+1) bounds driver
+    memory); dims_from_documents raises instead of collecting."""
+    assert try_dims_from_documents(spark, sf001_dir, max_rows=3) is None
+    import kbspark.corpus as corpus
+
+    old = corpus.DIM_COLLECT_CAP
+    corpus.DIM_COLLECT_CAP = 3
+    try:
+        with pytest.raises(ValueError, match="DIM_COLLECT_CAP"):
+            dims_from_documents(spark, sf001_dir)
+    finally:
+        corpus.DIM_COLLECT_CAP = old
+
+
+def test_frame_path_plan_has_no_cartesian_and_joins_dims(spark, sf001_dir):
+    """The relational J5 plan joins the dims (broadcast by default) and
+    stays free of nested-loop/cartesian products."""
+    from kbspark.corpus import pages_from_documents
+
+    pages = pages_from_documents(spark, sf001_dir)
+    ent, red = dim_frames_from_documents(spark, sf001_dir)
+    out = resolve_mentions_frames(mention_stage_raw(pages, spark), ent, red)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
