@@ -192,13 +192,55 @@ def kg_entity_linking(spark, sf_dir):
     return entity_linking_job(spark, sf_dir)
 
 
-@register("t_simhash_near_dups")
+@register(
+    "t_simhash_near_dups",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, w, COUNT(*) AS n FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS w
+        FROM documents) t
+      GROUP BY doc_id, w
+    ),
+    h AS (SELECT doc_id, n, MD5(w) AS hex FROM tok),
+    votes AS (
+      SELECT h.doc_id, bb.b AS bit,
+             SUM(CASE WHEN ((CAST(CONCAT('0x', SUBSTR(h.hex, bb.b // 4 + 1, 1))
+                             AS INTEGER) >> (bb.b % 4)) & 1) = 1
+                      THEN h.n ELSE -h.n END) AS v
+      FROM h, (SELECT UNNEST(RANGE(0, 64)) AS b) bb
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             STRING_AGG(CASE WHEN v > 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY bit) AS s
+      FROM votes GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i ->
+               CASE WHEN SUBSTR(a.s, CAST(i AS INT), 1)
+                      <> SUBSTR(b.s, CAST(i AS INT), 1)
+                    THEN 1 ELSE 0 END)) AS INT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 7
+    """,
+)
 def t_simhash_near_dups(spark, sf_dir):
-    """Rows-only check: SimHash near-duplicate pairs (64-bit signatures,
-    16-bit block LSH, Hamming <= 12 verification)."""
+    """SimHash near-duplicate pairs, value-hash-checked: md5-derived
+    64-bit signatures, 8-bit block LSH (8 blocks => pigeonhole-EXACT for
+    Hamming <= 7), exact Hamming verification. The oracle recomputes the
+    whole signature pipeline brute-force (all pairs) in SQL — any
+    divergence in tokenization, voting, bit packing, blocking or
+    verification breaks the hash match. At web scale the engine runs
+    n_blocks=4 (16-bit keys) with ``max_bucket`` bounding boilerplate
+    buckets (kbspark/textops.py)."""
     from kbspark.textops import simhash_near_dups
 
-    return simhash_near_dups(spark.table("documents"), max_hamming=12)
+    return simhash_near_dups(
+        spark.table("documents"), max_hamming=7, n_blocks=8
+    )
 
 
 @register("m_media_features")

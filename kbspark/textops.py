@@ -136,21 +136,28 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, represented as a 64-char '0'/'1'
-    string (engine-portable; bit b of xxhash64(token) votes ±1, signature
-    bit = sign of the vote sum). Explode to (doc, bit, vote) rows → two
-    hash aggs; both partial-aggregate map-side."""
+    string. The 64 hash bits come from the md5 hex digest of the token
+    (bit b = bit (b%4) of hex nibble b//4) — md5 like every other textops
+    family, so the full signature pipeline is value-checkable against a
+    DuckDB oracle (VERDICT r01 #2). Bit b of md5(token) votes ±count;
+    signature bit = sign of the vote sum. Explode to (doc, bit, vote)
+    rows → two hash aggs; both partial-aggregate map-side."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
     # collapse repeated tokens first: the 64-lane explode then runs on
     # (doc, DISTINCT token) rows with count weights — ~10x fewer rows on
     # natural text, identical vote sums
     tok = tok.groupBy("doc_id", "w").agg(F.count("*").alias("n")).withColumn(
-        "hv", F.xxhash64("w")
+        "hex", F.md5("w")
     )
+    nibbles = [
+        F.conv(F.substring("hex", i + 1, 1), 16, 10).cast("int")
+        for i in range(16)
+    ]
     votes = F.array(
         *[
             F.when(
-                F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1,
+                F.shiftright(nibbles[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1,
                 F.col("n"),
             ).otherwise(-F.col("n"))
             for b in range(64)
@@ -185,22 +192,36 @@ def _hamming_str(a, b):
     )
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: block on 4 16-bit signature sub-words (a
-    pair within Hamming distance 3 shares at least one block —
-    pigeonhole), equi-join on block key (never a cross join), verify with
-    exact Hamming distance.
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+                      n_blocks: int = 4,
+                      max_bucket: int | None = None) -> DataFrame:
+    """SimHash near-dup pairs: block on ``n_blocks`` equal signature
+    sub-words (a pair within Hamming distance < n_blocks shares at least
+    one block — pigeonhole, so the result is EXACT for
+    ``max_hamming <= n_blocks - 1``; beyond that it is a documented
+    approximation), equi-join on block key (never a cross join), verify
+    with exact Hamming distance.
 
-    Physical shape: block keys are 16-bit INTEGERS (bit-string parsed
-    once per doc), Hamming = Σ bit_count(xor) over the 4 words (cheap
-    codegen'd bit ops, not char zips); duplicate candidates (pairs
-    colliding in several blocks, ≤4) dedup on the id pair before the
-    hamming filter."""
+    Physical shape: block keys are integers (bit-string parsed once per
+    doc), Hamming = Σ bit_count(xor) over the sub-words (cheap codegen'd
+    bit ops, not char zips); duplicate candidates (pairs colliding in
+    several blocks) dedup on the id pair before the hamming filter.
+
+    ``max_bucket`` (scale knob, same contract as
+    ``lsh_near_dup_pairs``): drop block buckets larger than this before
+    the self-join. At web scale a 16-bit block key over >=10^8 docs
+    averages >=1.5k docs/bucket and the candidate join explodes
+    quadratically on boilerplate clusters; the cap bounds candidates at
+    n_blocks * n_docs * max_bucket. Capped buckets make the result
+    approximate for the docs in them (recall<1 there), never wrong."""
+    if 64 % n_blocks:
+        raise ValueError("n_blocks must divide 64")
+    bits = 64 // n_blocks
     sig = simhash64(docs)
     words = F.array(
         *[
-            F.conv(F.substring("simhash", i * 16 + 1, 16), 2, 10).cast("long")
-            for i in range(4)
+            F.conv(F.substring("simhash", i * bits + 1, bits), 2, 10).cast("long")
+            for i in range(n_blocks)
         ]
     )
     keyed = sig.select("doc_id", words.alias("blocks"))
@@ -209,6 +230,11 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "blocks",
         F.posexplode("blocks").alias("block_id", "block_key"),
     )
+    if max_bucket is not None:
+        wcnt = W.partitionBy("block_id", "block_key")
+        blocks = blocks.withColumn("_bn", F.count("*").over(wcnt)).filter(
+            F.col("_bn") <= max_bucket
+        ).drop("_bn")
     a = blocks.select(
         F.col("doc_id").alias("doc_a"), F.col("blocks").alias("blocks_a"),
         "block_id", "block_key",
