@@ -140,11 +140,54 @@ def kg_triples(spark, sf_dir):
     )
 
 
-@register("kg_tagged_stats")
+@register(
+    "kg_tagged_stats",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, UNNEST(words) AS tok, UNNEST(RANGE(0, LEN(words))) AS i
+      FROM w
+    ),
+    feat AS (
+      -- generator-inverse of _doc_to_markup + clean_text + tokenizer:
+      -- h in (3,4) => markup stripped to nothing (0 tokens), every other
+      -- branch yields exactly one token for the [a-z]+ corpus vocabulary;
+      -- the injected '.' after word i is its own token and a terminal
+      SELECT doc_id, i,
+        CASE WHEN (doc_id * 1000003 + i * 101) % 17 IN (3, 4)
+             THEN 0 ELSE 1 END AS c,
+        CASE WHEN (i * 7 + doc_id) % 23 = 0 THEN 1 ELSE 0 END AS p
+      FROM pos
+    ),
+    agg AS (
+      SELECT doc_id,
+             SUM(c) + SUM(p) AS n_tokens,
+             SUM(p) AS n_periods,
+             MAX(CASE WHEN p = 1 THEN i END) AS lastp,
+             MAX(CASE WHEN c = 1 THEN i END) AS lastc
+      FROM feat GROUP BY doc_id
+    )
+    SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(CASE WHEN n_periods = 0
+                     THEN CASE WHEN n_tokens > 0 THEN 1 ELSE 0 END
+                     ELSE n_periods
+                          + CASE WHEN lastc > lastp THEN 1 ELSE 0 END
+                END AS INT) AS n_sentences,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM agg
+    """,
+)
 def kg_tagged_stats(spark, sf_dir):
-    """Rows-only check (tokenizer not SQL-expressible): the annotate
-    stage (E3-E6) — per-page sentence/token counts from the tagged table
-    with typed nested arrays."""
+    """The annotate stage (E1→E6) value-checked end-to-end: per-page
+    sentence/token counts from the tagged table with typed nested arrays.
+    The oracle inverts the deterministic markup generator + regex
+    tokenizer/sentence-splitter in SQL (every corpus word is [a-z]+, so
+    per-branch token counts are exact) — a regression anywhere in
+    clean_text, link splitting, tokenization, sentence splitting or
+    packing shifts the counts and breaks the hash."""
     from kbspark.jobs import tagged_table
 
     tagged = tagged_table(spark, sf_dir)
@@ -255,11 +298,91 @@ def m_media_features(spark, sf_dir):
     return media_features(pages)
 
 
-@register("s_knn_ivf")
+# squared-distance ordering expression shared by the IVF oracle's
+# assignment steps (numpy's expansion: x.x - 2 x.c + c.c; the x.x term is
+# row-constant and cannot change the argmin)
+_IVF_D2 = (
+    "LIST_DOT_PRODUCT(e.emb, e.emb) - 2 * LIST_DOT_PRODUCT(e.emb, {cb}.c) "
+    "+ LIST_DOT_PRODUCT({cb}.c, {cb}.c)"
+)
+
+_IVF_ORACLE = f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    seeds AS (
+      -- codebook init: the 8 corpus vectors with the smallest
+      -- md5(vec_id), cluster id = md5 rank (simsearch.train_ivf_centroids)
+      SELECT ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR))) - 1
+               AS cluster,
+             emb AS c
+      FROM emb
+      QUALIFY ROW_NUMBER() OVER (ORDER BY MD5(CAST(vec_id AS VARCHAR))) <= 8
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.emb, s.cluster FROM emb e, seeds s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_D2.format(cb="s")} ASC, s.cluster ASC) = 1
+    ),
+    m1 AS (
+      SELECT cluster, pos, AVG(x) AS m FROM (
+        SELECT cluster, UNNEST(emb) AS x, UNNEST(RANGE(0, LEN(emb))) AS pos
+        FROM a1) t GROUP BY 1, 2
+    ),
+    c1u AS (SELECT cluster, LIST(m ORDER BY pos) AS c FROM m1 GROUP BY cluster),
+    c1 AS (
+      SELECT s.cluster, COALESCE(u.c, s.c) AS c
+      FROM seeds s LEFT JOIN c1u u USING (cluster)
+    ),
+    a2 AS (
+      SELECT e.vec_id, e.emb, s.cluster FROM emb e, c1 s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_D2.format(cb="s")} ASC, s.cluster ASC) = 1
+    ),
+    m2 AS (
+      SELECT cluster, pos, AVG(x) AS m FROM (
+        SELECT cluster, UNNEST(emb) AS x, UNNEST(RANGE(0, LEN(emb))) AS pos
+        FROM a2) t GROUP BY 1, 2
+    ),
+    c2u AS (SELECT cluster, LIST(m ORDER BY pos) AS c FROM m2 GROUP BY cluster),
+    c2 AS (
+      SELECT p.cluster, COALESCE(u.c, p.c) AS c
+      FROM c1 p LEFT JOIN c2u u USING (cluster)
+    ),
+    assign AS (
+      SELECT e.vec_id, e.emb, s.cluster FROM emb e, c2 s
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_D2.format(cb="s")} ASC, s.cluster ASC) = 1
+    ),
+    probe AS (
+      SELECT e.vec_id AS query_id, e.emb AS qe, s.cluster
+      FROM emb e, c2 s WHERE e.vec_id < 10
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY {_IVF_D2.format(cb="s")} ASC, s.cluster ASC) <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(p.qe, a.emb) /
+             (SQRT(LIST_DOT_PRODUCT(p.qe, p.qe)) *
+              SQRT(LIST_DOT_PRODUCT(a.emb, a.emb))) AS cos
+      FROM probe p JOIN assign a USING (cluster)
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register("s_knn_ivf", oracle=_IVF_ORACLE)
 def s_knn_ivf(spark, sf_dir):
-    """Rows-only: IVF ANN — deterministic md5-seeded codebook + Lloyd
-    refinement, Arrow-batched numpy assignment, probe-cell equi-join +
-    exact re-rank (recall vs brute force asserted in pytest)."""
+    """IVF ANN, value-hash-checked end-to-end: the oracle replays the
+    md5-ranked codebook init, BOTH Lloyd iterations (assign → per-dim
+    mean, empty-cluster fallback), the final corpus assignment, the
+    3-cell probe and the exact cosine re-rank in SQL. Recall vs brute
+    force is additionally asserted in pytest."""
     from kbspark.simsearch import knn_ivf
 
     emb = spark.table("embeddings")
@@ -268,11 +391,64 @@ def s_knn_ivf(spark, sf_dir):
     )
 
 
-@register("s_knn_lsh")
+@register(
+    "s_knn_lsh",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ),
+    planes AS (
+      SELECT tt.t AS tbl, pp.p AS p, tt.t * 4 + pp.p AS plane
+      FROM (SELECT UNNEST(RANGE(0, 6)) AS t) tt,
+           (SELECT UNNEST(RANGE(0, 4)) AS p) pp
+    ),
+    comp AS (
+      -- hyperplane component j of plane p: first 15 hex chars of
+      -- md5('p:j') scaled to [-1, 1) — identical to kbspark.simsearch
+      SELECT plane, tbl, p,
+             LIST_TRANSFORM(RANGE(0, 64), j ->
+               CAST(CONCAT('0x', SUBSTR(MD5(CONCAT(plane, ':', j)), 1, 15))
+                    AS BIGINT) / POW(2, 59) - 1) AS h
+      FROM planes
+    ),
+    sgn AS (
+      SELECT e.vec_id, c.tbl, c.p,
+             CASE WHEN LIST_DOT_PRODUCT(e.emb, c.h) >= 0
+                  THEN '1' ELSE '0' END AS s
+      FROM emb e, comp c
+    ),
+    sig AS (
+      SELECT vec_id, tbl, STRING_AGG(s, '' ORDER BY p) AS sig
+      FROM sgn GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig
+      WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             LIST_DOT_PRODUCT(qe.emb, ce.emb) /
+             (SQRT(LIST_DOT_PRODUCT(qe.emb, qe.emb)) *
+              SQRT(LIST_DOT_PRODUCT(ce.emb, ce.emb))) AS cos
+      FROM cand
+      JOIN emb qe ON qe.vec_id = cand.query_id
+      JOIN emb ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
 def s_knn_lsh(spark, sf_dir):
-    """Rows-only check: random-hyperplane LSH ANN (approximate — no exact
-    oracle by construction; recall vs brute force is asserted in
-    tests/test_simsearch.py)."""
+    """Random-hyperplane LSH ANN, value-hash-checked end-to-end: the
+    oracle recomputes the md5-derived hyperplanes, the per-table sign
+    signatures, the bucket equi-join candidate generation and the exact
+    cosine re-rank in SQL — bucketing, scoring and ranking are all
+    verified, not just row counts. Recall vs brute force is additionally
+    asserted in tests/test_textops_simsearch.py."""
     from kbspark.simsearch import knn_lsh
 
     emb = spark.table("embeddings")

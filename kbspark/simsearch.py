@@ -198,14 +198,26 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
 def _hyperplane_sign(vec_col, plane_id: int, dim: int):
     """Sign of <v, h_p> where h_p is a deterministic pseudo-random
-    hyperplane: component j of plane p = xxhash64('p:j') scaled to
-    [-1, 1]. Fully JVM-side and reproducible across runs/partitions."""
+    hyperplane: component j of plane p = the first 15 hex chars of
+    md5('p:j') scaled to [-1, 1). Fully JVM-side, reproducible across
+    runs/partitions, and recomputable by the DuckDB contract oracle
+    (md5 family like textops; xxhash64 has no DuckDB equivalent)."""
     comps = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
-            F.xxhash64(F.concat_ws(":", F.lit(plane_id), j.cast("string")))
-            .cast("double")
-            / F.lit(float(2**63))
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(":", F.lit(str(plane_id)), j.cast("string"))
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(2**59))
+            - F.lit(1.0)
         ),
     )
     proj = F.aggregate(
