@@ -27,23 +27,29 @@ def reachable(
     node: str = "node",
     max_iterations: int = 50,
     checkpoint_every: int = 5,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All nodes reachable from ``roots`` (inclusive) through ``edges``.
 
     ``edges``: DataFrame with columns (src, dst); ``roots``: DataFrame
     with column ``node``. Returns a single-column DataFrame ``node``.
-    """
+
+    ``group_cols``: extra root-tag columns carried through the descent —
+    N independent closures run as ONE BFS over (group, node) pairs
+    (one join per level for all groups together instead of N separate
+    fixpoints; the visited anti-join dedups per group)."""
+    keep = [node, *group_cols]
     edges = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    visited = roots.select(F.col(node).alias(node)).distinct().localCheckpoint()
+    visited = roots.select(*keep).distinct().localCheckpoint()
     frontier = visited
 
     for i in range(max_iterations):
         nxt = (
             frontier.join(edges, frontier[node] == edges["_src"])
-            .select(F.col("_dst").alias(node))
+            .select(F.col("_dst").alias(node), *group_cols)
             .distinct()
         )
-        new = nxt.join(visited, node, "left_anti")
+        new = nxt.join(visited, keep, "left_anti")
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new = new.localCheckpoint()
         else:
@@ -77,6 +83,104 @@ def descendant_edges(edges: DataFrame, root: str, parent: str = "cl_to",
     return edges.join(
         F.broadcast(closure.withColumnRenamed("node", parent)), parent
     ).distinct()
+
+
+#: the reference extract job's hard-coded German root categories
+#: (entities.py:213-229)
+DEFAULT_TYPE_ROOTS = {
+    "PER": ("Frau", "Mann"),
+    "LOC": ("Geographisches_Objekt",),
+    "ORG": ("Organisation",),
+}
+DEFAULT_NOTION_ROOT = "Geographischer_Begriff"
+
+
+def category_entities(
+    pages: DataFrame,
+    edges: DataFrame,
+    type_roots: dict[str, tuple[str, ...]] | None = None,
+    notion_root: str = DEFAULT_NOTION_ROOT,
+    drop_prefix: str = "Liste_",
+) -> DataFrame:
+    """The reference's ``extract-wiki-ner-entities`` job
+    (qurator/wikipedia/entities.py:196-247) composed from the closure
+    primitives: one category descent + member-page set per root, the
+    type-priority exclusions org∖(per∪loc), loc∖(per∪notion)
+    (entities.py:233-236 — note org is excluded against the UNFILTERED
+    loc set, exactly as the reference orders its statements), and TYPE
+    assignment (entities.py:240-243). A page in loc∩org∩notion but not
+    per is dropped entirely, matching the reference.
+
+    ``pages``/``edges``: the same shapes ``descendant_edges`` /
+    ``category_member_pages`` take. Returns (page_title, TYPE) rows —
+    the reference's pickled all_entities frame. Exclusions are P3
+    anti-joins on page_id (the reference's index-isin filters).
+
+    Scale shape: the five root closures run as ONE tagged BFS
+    (``reachable`` with a group column — one edge join per graph level
+    total, not per root), and member extraction is a single tagged
+    semi-join; only the three exclusion anti-joins follow."""
+    import pandas as pd
+
+    type_roots = type_roots or DEFAULT_TYPE_ROOTS
+    spark = pages.sparkSession
+
+    tagged_roots = [
+        (typ, root)
+        for typ, roots in ((t, type_roots[t]) for t in ("PER", "LOC", "ORG"))
+        for root in roots
+    ] + [("NOTION", notion_root)]
+    roots_df = spark.createDataFrame(
+        pd.DataFrame(tagged_roots, columns=["typ", "node"])
+    )
+
+    # one BFS over (typ, node) pairs; only titled (category) children are
+    # descended into, matching the reference's cats.dropna() guard
+    titled = edges.filter(F.col("page_title").isNotNull()).select(
+        F.col("cl_to").alias("src"), F.col("page_title").alias("dst")
+    )
+    closure = reachable(titled, roots_df, group_cols=("typ",))
+
+    # member pages: ns-0 pages whose id appears under a closure category,
+    # tagged by typ (the get_category_pages analog, one pass for all typs)
+    member_ids = (
+        edges.join(
+            F.broadcast(closure.withColumnRenamed("node", "cl_to")), "cl_to"
+        )
+        .select(F.col("cl_from").alias("page_id"), "typ")
+        .distinct()
+    )
+    member = (
+        pages.filter(F.col("page_namespace") == 0)
+        .select("page_id", "page_title")
+        .join(member_ids, "page_id")
+        .filter(~F.col("page_title").startswith(drop_prefix))
+    ).persist()  # feeds four typ slices + three anti-joins
+
+    def of_type(typ: str) -> DataFrame:
+        return member.filter(F.col("typ") == typ).select(
+            "page_id", "page_title"
+        ).distinct()
+
+    per = of_type("PER")
+    loc0 = of_type("LOC")
+    org0 = of_type("ORG")
+    notion = of_type("NOTION")
+
+    org = (
+        org0.join(per.select("page_id"), "page_id", "left_anti")
+        .join(loc0.select("page_id"), "page_id", "left_anti")
+    )
+    loc = (
+        loc0.join(per.select("page_id"), "page_id", "left_anti")
+        .join(notion.select("page_id"), "page_id", "left_anti")
+    )
+    return (
+        per.withColumn("TYPE", F.lit("PER"))
+        .unionByName(loc.withColumn("TYPE", F.lit("LOC")))
+        .unionByName(org.withColumn("TYPE", F.lit("ORG")))
+        .select("page_title", "TYPE")
+    )
 
 
 def category_member_pages(pages: DataFrame, cats: DataFrame,

@@ -51,6 +51,122 @@ def a1_graph_closure(spark, sf_dir):
     return reachable(edges, roots).select(F.col("node").cast("bigint").alias("node"))
 
 
+@register(
+    "a1b_category_entities",
+    oracle="""
+    WITH RECURSIVE cedges AS (
+      SELECT 'Cat_' || CAST(k // 3 AS VARCHAR) AS parent,
+             'Cat_' || CAST(k AS VARCHAR) AS child
+      FROM (SELECT UNNEST(RANGE(1, 40)) AS k) t
+      UNION ALL
+      SELECT * FROM (VALUES ('Cat_21', 'Cat_24'), ('Cat_18', 'Cat_26'),
+                            ('Cat_27', 'Cat_22')) v(parent, child)
+    ),
+    roots AS (
+      SELECT * FROM (VALUES ('Cat_5', 'PER'), ('Cat_6', 'PER'),
+                            ('Cat_7', 'LOC'), ('Cat_8', 'ORG'),
+                            ('Cat_9', 'NOTION')) r(root, typ)
+    ),
+    rr(root, node) AS (
+      SELECT root, root FROM roots
+      UNION
+      SELECT rr.root, e.child FROM rr JOIN cedges e ON e.parent = rr.node
+    ),
+    members AS (
+      SELECT DISTINCT rr.root, c.c_custkey AS page_id,
+             'Art_' || CAST(c.c_custkey AS VARCHAR) AS page_title
+      FROM rr JOIN customer c
+        ON 'Cat_' || CAST(c.c_custkey % 40 AS VARCHAR) = rr.node
+      WHERE c.c_custkey % 10 <> 0
+    ),
+    typed AS (
+      SELECT m.page_id, m.page_title, r.typ
+      FROM members m JOIN roots r USING (root)
+    ),
+    per AS (SELECT DISTINCT page_id, page_title FROM typed WHERE typ = 'PER'),
+    loc0 AS (SELECT DISTINCT page_id, page_title FROM typed WHERE typ = 'LOC'),
+    org0 AS (SELECT DISTINCT page_id, page_title FROM typed WHERE typ = 'ORG'),
+    notion AS (
+      SELECT DISTINCT page_id, page_title FROM typed WHERE typ = 'NOTION'
+    ),
+    org AS (
+      SELECT * FROM org0
+      WHERE page_id NOT IN (SELECT page_id FROM per)
+        AND page_id NOT IN (SELECT page_id FROM loc0)
+    ),
+    loc AS (
+      SELECT * FROM loc0
+      WHERE page_id NOT IN (SELECT page_id FROM per)
+        AND page_id NOT IN (SELECT page_id FROM notion)
+    )
+    SELECT page_title, 'PER' AS TYPE FROM per
+    UNION ALL SELECT page_title, 'LOC' AS TYPE FROM loc
+    UNION ALL SELECT page_title, 'ORG' AS TYPE FROM org
+    """,
+)
+def a1b_category_entities(spark, sf_dir):
+    """The reference's composed extract job (entities.py:196-247) over a
+    derived category graph: a Cat_k//3 tree + three cross edges creating
+    per∩org, loc∩org and loc∩notion overlaps, customers as member pages
+    (Liste_ titles for custkey%10=0 exercise the P2 drop). The oracle
+    replays the closure (recursive CTE) and the type-priority anti-joins.
+    Parity with the reference function itself (exec'd from source over
+    SQLite) is asserted in tests/test_category_pages.py."""
+    import pandas as pd
+
+    from kbspark.closure import category_entities
+
+    tree = spark.range(1, 40).select(
+        F.concat(F.lit("Cat_"), F.floor(F.col("id") / 3).cast("string")).alias(
+            "cl_to"
+        ),
+        (F.lit(1000) + F.col("id")).alias("cl_from"),
+        F.concat(F.lit("Cat_"), F.col("id").cast("string")).alias("page_title"),
+    )
+    cross = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cl_to": ["Cat_21", "Cat_18", "Cat_27"],
+                "cl_from": [1024, 1026, 1022],
+                "page_title": ["Cat_24", "Cat_26", "Cat_22"],
+            }
+        )
+    )
+    membership = spark.table("customer").select(
+        F.concat(F.lit("Cat_"), (F.col("c_custkey") % 40).cast("string")).alias(
+            "cl_to"
+        ),
+        F.col("c_custkey").cast("long").alias("cl_from"),
+        F.lit(None).cast("string").alias("page_title"),
+    )
+    edges = tree.unionByName(cross).unionByName(membership)
+
+    cat_pages = spark.range(0, 40).select(
+        (F.lit(1000) + F.col("id")).alias("page_id"),
+        F.concat(F.lit("Cat_"), F.col("id").cast("string")).alias("page_title"),
+        F.lit(14).alias("page_namespace"),
+    )
+    articles = spark.table("customer").select(
+        F.col("c_custkey").cast("long").alias("page_id"),
+        F.when(
+            F.col("c_custkey") % 10 == 0,
+            F.concat(F.lit("Liste_"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("Art_"), F.col("c_custkey").cast("string")))
+        .alias("page_title"),
+        F.lit(0).alias("page_namespace"),
+    )
+    pages = cat_pages.unionByName(articles)
+
+    return category_entities(
+        pages,
+        edges,
+        type_roots={"PER": ("Cat_5", "Cat_6"), "LOC": ("Cat_7",),
+                    "ORG": ("Cat_8",)},
+        notion_root="Cat_9",
+    )
+
+
 _ORACLE_MENTION_BASE = """
     WITH w AS (
       SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents

@@ -42,9 +42,12 @@ def load_reference_function(rel_path: str, func_name: str, extra_ns=None):
     return ns[func_name]
 
 
-def load_reference_functions(rel_path: str, func_names: list[str], extra_ns=None):
+def load_reference_functions(rel_path: str, func_names: list[str], extra_ns=None,
+                             strip_decorators: bool = False):
     """Like load_reference_function but loads several co-dependent
-    functions into one shared namespace (e.g. get_sub_cats → _get_cats)."""
+    functions into one shared namespace (e.g. get_sub_cats → _get_cats).
+    ``strip_decorators`` removes decorator expressions (click commands)
+    so a CLI entry point's body can run as a plain function oracle."""
     path = f"{REFERENCE_ROOT}/{rel_path}"
     with open(path, encoding="utf-8") as f:
         source = f.read()
@@ -54,6 +57,9 @@ def load_reference_functions(rel_path: str, func_names: list[str], extra_ns=None
         for node in tree.body
         if isinstance(node, ast.FunctionDef) and node.name in func_names
     ]
+    if strip_decorators:
+        for f_node in funcs:
+            f_node.decorator_list = []
     module = ast.Module(body=funcs, type_ignores=[])
     code = compile(module, filename=path, mode="exec")
     ns: dict = {

@@ -55,6 +55,103 @@ def synth_category_db(tmp_path, seed=29, n_cats=40, n_articles=80):
     return db, page, categorylinks
 
 
+def synth_entity_db(tmp_path, seed=31, n_subcats=30, n_articles=120):
+    """Category DB with the reference extract job's five German roots,
+    overlapping subtrees (per∩org, loc∩org, loc∩notion), a cycle,
+    Liste_ pages and a dangling child — everything entities.py:196-247
+    branches on."""
+    rng = np.random.RandomState(seed)
+    roots = ["Organisation", "Geographisches_Objekt",
+             "Geographischer_Begriff", "Frau", "Mann"]
+    cat_titles = roots + [f"Sub_{i}" for i in range(n_subcats)]
+    cats = pd.DataFrame(
+        {
+            "page_id": range(2000, 2000 + len(cat_titles)),
+            "page_title": cat_titles,
+            "page_namespace": [14] * len(cat_titles),
+        }
+    )
+    id_of = dict(zip(cats.page_title, cats.page_id))
+    arts = pd.DataFrame(
+        {
+            "page_id": range(1, n_articles + 1),
+            "page_title": [
+                f"Liste_von_{i}" if i % 9 == 0 else f"Seite_{i}"
+                for i in range(1, n_articles + 1)
+            ],
+            "page_namespace": [0] * n_articles,
+        }
+    )
+    page = pd.concat([cats, arts], ignore_index=True)
+
+    links = []
+    # each subcat hangs under 1-2 random parents (roots or other subs) —
+    # random cross-links create overlapping subtrees across types
+    for i in range(n_subcats):
+        for _ in range(int(rng.randint(1, 3))):
+            parent = cat_titles[int(rng.randint(0, len(cat_titles)))]
+            links.append((parent, id_of[f"Sub_{i}"]))
+    # guaranteed overlaps + a cycle + a dangling child
+    links += [
+        ("Organisation", id_of["Sub_0"]), ("Frau", id_of["Sub_0"]),
+        ("Organisation", id_of["Sub_1"]),
+        ("Geographisches_Objekt", id_of["Sub_1"]),
+        ("Geographisches_Objekt", id_of["Sub_2"]),
+        ("Geographischer_Begriff", id_of["Sub_2"]),
+        ("Sub_3", id_of["Sub_4"]), ("Sub_4", id_of["Sub_3"]),
+        ("Mann", id_of["Sub_3"]),
+        ("Organisation", 99999),
+    ]
+    for a in range(1, n_articles + 1):
+        for _ in range(int(rng.randint(1, 3))):
+            links.append((cat_titles[int(rng.randint(0, len(cat_titles)))], a))
+    categorylinks = pd.DataFrame(links, columns=["cl_to", "cl_from"])
+
+    db = str(tmp_path / "ents.sqlite3")
+    with sqlite3.connect(db) as cnx:
+        page.to_sql("page", cnx, index=False)
+        categorylinks.to_sql("categorylinks", cnx, index=False)
+    return db, page, categorylinks
+
+
+def test_category_entities_parity(spark, tmp_path):
+    """kbspark.closure.category_entities vs the reference's composed
+    extract job (entities.py:196-247) exec'd from source (click
+    decorators stripped) over the same SQLite fixture — exact
+    (page_title, TYPE) multiset match, including the type-priority
+    exclusions org∖(per∪loc) and loc∖(per∪notion)."""
+    from kbspark.closure import category_entities
+
+    db, page, categorylinks = synth_entity_db(tmp_path)
+
+    fns = load_reference_functions(
+        "qurator/wikipedia/entities.py",
+        ["_get_cats", "get_sub_cats", "get_category_pages", "extract"],
+        extra_ns={"pd": pd, "sqlite3": sqlite3, "np": np},
+        strip_decorators=True,
+    )
+    sys.setrecursionlimit(10000)
+    out_pkl = str(tmp_path / "all_entities.pkl")
+    fns["extract"](db, out_pkl)
+    ref = pd.read_pickle(out_pkl)
+    ref_pairs = sorted(zip(ref.index, ref["TYPE"]))
+
+    s_page = spark.createDataFrame(page)
+    s_links = spark.createDataFrame(categorylinks)
+    cat_pages = s_page.filter("page_namespace = 14").select(
+        "page_id", "page_title"
+    )
+    edges = s_links.join(
+        cat_pages, s_links.cl_from == cat_pages.page_id, "left"
+    ).select("cl_to", "cl_from", "page_title")
+
+    ours = category_entities(s_page, edges).toPandas()
+    ours_pairs = sorted(zip(ours.page_title, ours.TYPE))
+    assert ours_pairs == ref_pairs
+    assert len(ours_pairs) > 0
+    assert {t for _, t in ours_pairs} == {"PER", "LOC", "ORG"}
+
+
 def test_category_closure_parity(spark, tmp_path):
     db, page, categorylinks = synth_category_db(tmp_path)
 
