@@ -83,11 +83,81 @@ class Catalog:
         self._commit_manifest(table, [entry])
         return entry
 
+    # -- staged partitioned commits (single-pass lineage) --------------------
+
+    def stage_partitioned(self, table: str, df: DataFrame, part_col: str) -> dict:
+        """Write ``df`` partitioned by ``part_col`` to an UNCOMMITTED
+        staging snapshot in ONE pass (the data files exist but no
+        manifest entry references them — invisible until
+        ``commit_staged``). Returns a handle with per-partition row
+        counts (one scan of the staged output, never of the input)."""
+        from pyspark.sql import functions as F
+
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        base = os.path.join(tdir, f"stage-{uuid.uuid4().hex[:8]}")
+        df.write.partitionBy(part_col).mode("errorifexists").parquet(base)
+        part_dirs = [
+            d for d in os.listdir(base) if d.startswith(f"{part_col}=")
+        ]
+        counts: dict = {}
+        if part_dirs:
+            staged = self.spark.read.option("basePath", base).parquet(base)
+            for r in (
+                staged.groupBy(part_col).agg(F.count("*").alias("n")).collect()
+            ):
+                counts[r[part_col]] = r["n"]
+        return {"base": base, "part_col": part_col, "counts": counts}
+
+    def commit_staged(self, table: str, staged: dict, values: list,
+                      meta: dict | None = None) -> dict:
+        """Atomically commit the staged partitions for ``values`` — a
+        manifest append referencing the already-written partition
+        directories (zero data movement; the rename of the manifest is
+        the commit point, same as ``append``). Empty partitions commit
+        as markers with no paths."""
+        part_col = staged["part_col"]
+        paths = []
+        for v in values:
+            p = os.path.join(staged["base"], f"{part_col}={v}")
+            if os.path.isdir(p):
+                paths.append(p)
+        entries = self._load_manifest(table)
+        entry = {
+            "snapshot": f"snap-{len(entries):05d}-{uuid.uuid4().hex[:8]}",
+            "paths": paths,
+            "base_path": staged["base"],
+            "n_rows": int(sum(staged["counts"].get(v, 0) for v in values)),
+            "meta": meta or {},
+        }
+        entries.append(entry)
+        self._commit_manifest(table, entries)
+        return entry
+
     def read(self, table: str) -> DataFrame:
         entries = self._load_manifest(table)
         if not entries:
             raise FileNotFoundError(f"catalog table not found: {table}")
-        return self.spark.read.parquet(*[e["path"] for e in entries])
+        dfs = []
+        plain = [e["path"] for e in entries if "path" in e]
+        if plain:
+            dfs.append(self.spark.read.parquet(*plain))
+        # staged-partition entries group by base so the partition column
+        # is reconstructed from the directory names
+        by_base: dict[str, list[str]] = {}
+        for e in entries:
+            if e.get("paths"):
+                by_base.setdefault(e["base_path"], []).extend(e["paths"])
+        for base, paths in by_base.items():
+            dfs.append(
+                self.spark.read.option("basePath", base).parquet(*paths)
+            )
+        if not dfs:
+            raise FileNotFoundError(f"catalog table has no data: {table}")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def row_count(self, table: str) -> int:
         """Metadata-only count (the Iceberg snapshot-count analog —

@@ -66,6 +66,16 @@ def run_stage(
 ) -> dict:
     """Run ``transform`` over ``input_df`` bucket-wise with resume.
 
+    Single-pass: the transform runs ONCE over all pending buckets and the
+    output lands partitioned by bucket in an uncommitted staging snapshot
+    (one input scan — the round-1 design re-filtered the full input per
+    commit batch, a ceil(n_buckets/buckets_per_commit)x read
+    amplification at 100 TB). Commits are then metadata-only: each batch
+    atomically appends a manifest entry referencing its staged partition
+    directories. A crash between commits leaves the staged files orphaned
+    and invisible; resume recomputes only the pending buckets (input scan
+    filtered by the bucket predicate).
+
     ``fail_after_commits`` is the fault-injection hook for the kill/rerun
     test (raises after N commits, mid-job).
 
@@ -74,23 +84,26 @@ def run_stage(
     done = completed_buckets(catalog, output_table, stage)
     pending = [b for b in range(n_buckets) if b not in done]
 
-    bucketed = input_df.withColumn("_bucket", bucket_of(key_col, n_buckets))
-
     ran: list[int] = []
     commits = 0
-    for i in range(0, len(pending), buckets_per_commit):
-        batch = pending[i : i + buckets_per_commit]
-        part = bucketed.filter(F.col("_bucket").isin(batch))
-        out = transform(part.drop("_bucket")).withColumn(
+    if pending:
+        bucketed = input_df.withColumn("_bucket", bucket_of(key_col, n_buckets))
+        if done:
+            bucketed = bucketed.filter(~F.col("_bucket").isin(sorted(done)))
+        out = transform(bucketed.drop("_bucket")).withColumn(
             "_bucket", bucket_of(key_col, n_buckets)
         )
-        catalog.append(
-            output_table, out, meta={"stage": stage, "buckets": batch}
-        )
-        ran.extend(batch)
-        commits += 1
-        if fail_after_commits is not None and commits >= fail_after_commits:
-            raise RuntimeError(
-                f"fault injection: killed after {commits} commits"
+        staged = catalog.stage_partitioned(output_table, out, "_bucket")
+        for i in range(0, len(pending), buckets_per_commit):
+            batch = pending[i : i + buckets_per_commit]
+            catalog.commit_staged(
+                output_table, staged, batch,
+                meta={"stage": stage, "buckets": batch},
             )
+            ran.extend(batch)
+            commits += 1
+            if fail_after_commits is not None and commits >= fail_after_commits:
+                raise RuntimeError(
+                    f"fault injection: killed after {commits} commits"
+                )
     return {"ran": ran, "skipped": sorted(done), "commits": commits}
