@@ -94,7 +94,11 @@ def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = mention_spans(tagged).persist()
 
     dim = entity_dim_df(spark, entity_types)
-    mined = mine_anchor_aliases(spans, dim, target_col="gt")
+    # mined dictionary is corpus-scaling: cap targets per surface and let
+    # the planner pick broadcast-vs-shuffle for the EL join (VERDICT #6)
+    mined = mine_anchor_aliases(
+        spans, dim, target_col="gt", max_targets_per_surface=8
+    )
     own = dim.select(
         F.col("page_title").alias("alias"), "page_title", "QID", "TYPE",
         F.lit(0.0).alias("proba"),
@@ -118,7 +122,8 @@ def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("wikidata", F.col("QID"))
     )
     profiles = entity_context_profiles(spans)
-    return link_entities(spans, aliases, profiles=profiles)
+    return link_entities(spans, aliases, profiles=profiles,
+                         aliases_hint="auto")
 
 
 def linking_quality_job(spark: SparkSession, sf_dir: str) -> DataFrame:

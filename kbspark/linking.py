@@ -87,7 +87,8 @@ def mention_spans(tagged: DataFrame) -> DataFrame:
 
 def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
                         surface_col: str = "surface",
-                        target_col: str = "page_title") -> DataFrame:
+                        target_col: str = "page_title",
+                        max_targets_per_surface: int | None = None) -> DataFrame:
     """Anchor-text dictionary (E8): corpus-observed (surface -> target)
     link pairs with P(target | surface) — the Wikipedia-anchor analog of
     the reference's a-priori link statistics (its `links` table,
@@ -98,7 +99,15 @@ def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
     table (surface, gt). ``entity_dim``: (page_title, QID, TYPE[,
     wikidata]) dictionary. Returns (alias, page_title, QID, TYPE, proba)
     where proba is the per-surface target probability. Two-phase agg;
-    skew-safe (counts)."""
+    skew-safe (counts).
+
+    ``max_targets_per_surface`` (scale knob, VERDICT r01 #6): the mined
+    dictionary grows with the corpus (unlike the reference's fixed
+    entity dictionary); keeping only the top-k targets per surface (by
+    count, title tiebreak) bounds it at k * n_distinct_surfaces so the
+    EL join side stays broadcastable far longer — and beyond that,
+    ``link_entities(aliases_hint='auto')`` shuffle-joins instead of
+    OOMing executors."""
     cols = mentions.columns
     base = mentions
     if "entity_type" in cols:
@@ -116,6 +125,15 @@ def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
     scored = pairs.withColumn(
         "proba", F.round(F.col("n") / F.sum("n").over(w_tot), 6)
     )
+    if max_targets_per_surface is not None:
+        w_rank = W.partitionBy("alias").orderBy(
+            F.col("n").desc(), F.col("page_title").asc()
+        )
+        scored = (
+            scored.withColumn("_rk", F.row_number().over(w_rank))
+            .filter(F.col("_rk") <= max_targets_per_surface)
+            .drop("_rk")
+        )
     return scored.join(F.broadcast(entity_dim), "page_title").select(
         "alias", "page_title", "QID", "TYPE", "proba"
     )
@@ -192,24 +210,38 @@ def link_entities(
     profiles: DataFrame | None = None,
     threshold: float = 0.01,
     context_weight: float = 0.5,
+    aliases_hint: str = "broadcast",
 ) -> DataFrame:
-    """E10 scoring + ranking. ``aliases``: broadcastable dictionary with
+    """E10 scoring + ranking. ``aliases``: dictionary with
     (alias, page_title, QID, TYPE, proba). ``profiles``: optional
     per-entity context profiles from ``entity_context_profiles`` — when
     given, the context term is overlap(mention sentence, candidate
     profile); otherwise overlap(mention sentence, candidate title).
     Returns the reference-shaped entity_linking table including sentinel
-    rows and a rank column."""
+    rows and a rank column.
+
+    ``aliases_hint``: 'broadcast' forces a broadcast join — right for a
+    fixed KB dictionary. 'auto' leaves the choice to the planner/AQE:
+    corpus-MINED dictionaries grow with the corpus and a forced broadcast
+    OOMs executors at 100x scale; under 'auto' Spark broadcasts while the
+    dict is under the threshold and falls back to a shuffle join above it
+    (same semantics either way). Applies to the profiles join too."""
+    if aliases_hint not in ("broadcast", "auto"):
+        raise ValueError(f"unknown aliases_hint: {aliases_hint}")
+
+    def sized(df):
+        return F.broadcast(df) if aliases_hint == "broadcast" else df
+
     norm_surface = F.replace(F.col("surface"), F.lit(" "), F.lit("_"))
     cand = mentions.withColumn("_alias", norm_surface).join(
-        F.broadcast(aliases.withColumnRenamed("alias", "_alias")),
+        sized(aliases.withColumnRenamed("alias", "_alias")),
         "_alias",
         "left",
     )
 
     matched_flag = F.col("page_title").isNotNull()
     if profiles is not None:
-        cand = cand.join(F.broadcast(profiles), "page_title", "left")
+        cand = cand.join(sized(profiles), "page_title", "left")
         ctx = F.array_distinct(F.split(F.lower(F.col("context")), r"[\s_]+"))
         prof = F.coalesce(F.col("profile"), F.array())
         inter = F.size(F.array_intersect(ctx, prof)).cast("double")

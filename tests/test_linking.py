@@ -150,3 +150,66 @@ def test_sentinel_rows_for_unknown_mentions(spark):
     assert len(el) == 1
     row = el.iloc[0]
     assert row.page_title == "-" and row.wikidata == "-" and row.proba == 0.0
+
+
+def test_mined_alias_cap_and_join_fallback(spark):
+    """VERDICT r01 #6: the corpus-mined dictionary is capped at top-k
+    targets per surface, and aliases_hint='auto' drops the forced
+    broadcast so an oversized dictionary shuffle-joins instead of
+    OOMing executors — with identical results."""
+    from kbspark.triples import entity_dim_df
+
+    # one ambiguous surface with 20 targets at distinct counts
+    rows = []
+    for t in range(20):
+        for r in range(t + 1):  # target t observed t+1 times
+            rows.append(("u", "p", f"amb-PER-{t}-{r}", "amb", "PER",
+                         f"Target_{t:02d}", "ctx words"))
+    spans = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["on_page_id", "on_page", "entity_id",
+                                    "surface", "etype", "gt", "context"])
+    )
+    dim = entity_dim_df(
+        spark, {f"Target_{t:02d}": "PER" for t in range(20)}
+    )
+
+    capped = mine_anchor_aliases(
+        spans, dim, target_col="gt", max_targets_per_surface=3
+    ).toPandas()
+    assert len(capped) == 3
+    assert sorted(capped.page_title) == ["Target_17", "Target_18", "Target_19"]
+    # probas stay the full-distribution conditionals (sum over ALL targets)
+    total = sum(t + 1 for t in range(20))
+    assert abs(capped.proba.max() - 20 / total) < 1e-6
+
+    aliases = capped_aliases = mine_anchor_aliases(
+        spans, dim, target_col="gt", max_targets_per_surface=3
+    ).withColumn("wikidata", F.col("QID"))
+
+    def run(hint):
+        return sorted(
+            map(tuple,
+                link_entities(spans, aliases, aliases_hint=hint).collect())
+        )
+
+    def opt_plan(hint):
+        df = link_entities(spans, aliases, aliases_hint=hint)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # the KB dim join inside mine_anchor_aliases keeps its (dictionary-
+    # sized) broadcast hint; 'auto' must drop the ALIAS join's forced
+    # broadcast — strictly fewer hints than the 'broadcast' plan
+    n_b = opt_plan("broadcast").count("strategy=broadcast")
+    n_a = opt_plan("auto").count("strategy=broadcast")
+    assert n_b >= 1 and n_a < n_b
+
+    # oversized-dictionary scenario: disable auto-broadcast so 'auto'
+    # resolves to a shuffle join; results must match the broadcast path
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    want = run("broadcast")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = run("auto")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == want and len(got) > 0
