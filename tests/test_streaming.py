@@ -51,3 +51,36 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     # exactly one of each dup-group survives
     assert len({1, 3} & kept) == 1
     assert len({2, 4} & kept) == 1
+
+
+def test_streaming_dedup_state_is_fingerprint_keyed(spark, tmp_path):
+    """VERDICT r01 #8: per-batch state writes scale with NEW keys, not
+    docs seen. Batch 1 introduces 50 fingerprints; batch 2 is 100%
+    duplicates — the state store must report zero updated rows for it
+    (the round-1 bucket-list design rewrote full fingerprint lists every
+    batch), while total state rows equal the distinct fingerprints."""
+    texts = [f"doc number {i} content" for i in range(50)]
+    first = pd.DataFrame({"doc_id": range(50), "text": texts})
+    dups = pd.DataFrame({"doc_id": range(100, 150), "text": texts})
+    flat = tmp_path / "flat2"
+    flat.mkdir()
+    spark.createDataFrame(first).coalesce(1).write.parquet(str(flat / "t"))
+    import glob
+    import shutil
+
+    shutil.copy(glob.glob(str(flat / "t" / "*.parquet"))[0],
+                flat / "000.parquet")
+    shutil.rmtree(flat / "t")
+    spark.createDataFrame(dups).coalesce(1).write.parquet(str(flat / "t"))
+    shutil.copy(glob.glob(str(flat / "t" / "*.parquet"))[0],
+                flat / "001.parquet")
+    shutil.rmtree(flat / "t")
+
+    out, progress = streaming_exact_dedup(
+        spark, str(flat), return_progress=True
+    )
+    assert out.count() == 50
+    assert set(out.toPandas().doc_id) == set(range(50))  # first batch wins
+    state = progress["stateOperators"][0]
+    assert state["numRowsTotal"] == 50  # one O(1) row per fingerprint
+    assert state["numRowsUpdated"] == 0  # all-dup batch rewrites nothing
