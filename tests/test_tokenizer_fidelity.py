@@ -1,0 +1,107 @@
+"""E3/E5 fidelity (VERDICT r01 #9): the regex fallback vs SoMaJo-style
+golden tokenizations. SoMaJo itself is not installable in this sandbox,
+so the goldens encode its documented token classes (abbreviations kept
+intact, numbers with German separators, mid-text ordinals, URLs/e-mails,
+CMC emoticons, punctuation runs, hyphen compounds, camel-case splitting
+under split_camel_case=True, terminal-aware sentence splitting). The
+divergence-rate test is the recorded fidelity number; the seam test pins
+the lang->model map a SoMaJo deployment would use."""
+
+import difflib
+
+from kbspark.extract import (
+    RegexSentenceSplitter,
+    RegexTokenizer,
+    SOMAJO_MODELS,
+    default_tokenizer_factory,
+)
+
+# (text, golden tokens, golden sentence count)
+GOLDENS = [
+    ("Das ist z.B. ein Test.",
+     ["Das", "ist", "z.B.", "ein", "Test", "."], 1),
+    ("Dr. Müller kommt ca. 10 Min. später.",
+     ["Dr.", "Müller", "kommt", "ca.", "10", "Min.", "später", "."], 1),
+    ("Er kam z.B. heute. Sie auch.",
+     ["Er", "kam", "z.B.", "heute", ".", "Sie", "auch", "."], 2),
+    ("Am 3. Januar war es kalt.",
+     ["Am", "3.", "Januar", "war", "es", "kalt", "."], 1),
+    ("Preis: 1.234,56 Euro.",
+     ["Preis", ":", "1.234,56", "Euro", "."], 1),
+    ("Siehe www.example.com für Details.",
+     ["Siehe", "www.example.com", "für", "Details", "."], 1),
+    ("E-Mail an info@example.org senden!",
+     ["E-Mail", "an", "info@example.org", "senden", "!"], 1),
+    ("Was?! Echt jetzt...",
+     ["Was", "?!", "Echt", "jetzt", "..."], 2),
+    (":-) das war super",
+     [":-)", "das", "war", "super"], 1),
+    ("Die URL https://example.org/pfad?x=1 ist lang.",
+     ["Die", "URL", "https://example.org/pfad?x=1", "ist", "lang", "."], 1),
+    ("Das Nord-Ost-Viertel bzw. die Altstadt.",
+     ["Das", "Nord-Ost-Viertel", "bzw.", "die", "Altstadt", "."], 1),
+    ("soSchönWarDas",
+     ["so", "Schön", "War", "Das"], 1),
+    ("Er sagte: \"Es geht.\" Dann ging er.",
+     ["Er", "sagte", ":", '"', "Es", "geht", ".", '"', "Dann", "ging",
+      "er", "."], 2),
+    ("Vol. 2, S. 15, vgl. Kap. 3",
+     ["Vol.", "2", ",", "S.", "15", ",", "vgl.", "Kap.", "3"], 1),
+    ("Mr. Smith vs. Dr. No, approx. 3,5 km.",
+     ["Mr.", "Smith", "vs.", "Dr.", "No", ",", "approx.", "3,5", "km", "."],
+     1),
+    ("geht's noch?",
+     ["geht's", "noch", "?"], 1),
+    ("Treffen um 14:30 Uhr!!",
+     ["Treffen", "um", "14:30", "Uhr", "!!"], 1),
+    ("usw. usf. und so weiter …",
+     ["usw.", "usf.", "und", "so", "weiter", "…"], 1),
+]
+
+
+def _divergence():
+    tok = RegexTokenizer(split_camel_case=True, language="de")
+    total = 0
+    diverged = 0
+    cases = []
+    for text, golden, _ in GOLDENS:
+        ours = tok.tokenize(text)
+        total += len(golden)
+        sm = difflib.SequenceMatcher(a=golden, b=ours)
+        d = sum(
+            max(i2 - i1, j2 - j1)
+            for op, i1, i2, j1, j2 in sm.get_opcodes()
+            if op != "equal"
+        )
+        diverged += d
+        if d:
+            cases.append((text, golden, ours))
+    return diverged / total, cases
+
+
+def test_token_divergence_under_1_percent():
+    rate, cases = _divergence()
+    assert rate < 0.01, (rate, cases)
+
+
+def test_sentence_counts_match_goldens():
+    tok = RegexTokenizer(split_camel_case=True, language="de")
+    spl = RegexSentenceSplitter()
+    bad = []
+    for text, _, n_sent in GOLDENS:
+        got = len(spl.split(tok.tokenize(text)))
+        if got != n_sent:
+            bad.append((text, n_sent, got))
+    assert not bad, bad
+
+
+def test_factory_lang_model_seam():
+    """The lang->model map is wired: de/en map to SoMaJo's published
+    model names; the sandbox (somajo absent) falls back to the regex
+    tokenizer carrying the language tag."""
+    assert SOMAJO_MODELS == {"de": "de_CMC", "en": "en_PTB"}
+    t_de = default_tokenizer_factory("de")
+    t_fr = default_tokenizer_factory("fr")
+    assert isinstance(t_de, RegexTokenizer) and t_de.language == "de"
+    assert isinstance(t_fr, RegexTokenizer) and t_fr.language == "fr"
+    assert t_de.tokenize_text(["Ein Satz."]) == [["Ein", "Satz", "."]]
