@@ -58,6 +58,40 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    # kg_entity_linking sub-stage timings (VERDICT r01 #10): where does
+    # the EL wall-clock go — annotate+spans, alias mining, or scoring?
+    from kbspark.corpus import (
+        dims_from_documents as _dims,
+        pages_from_documents as _pages,
+    )
+    from kbspark.extract import annotate_stage as _annotate
+    from kbspark.linking import (
+        entity_context_profiles as _profiles,
+        link_entities as _link,
+        mention_spans as _spans,
+        mine_anchor_aliases as _mine,
+    )
+    from kbspark.triples import entity_dim_df as _dim_df
+
+    el_stages: dict[str, float] = {}
+    t0 = time.time()
+    _ents, _reds = _dims(spark, sf_dir)
+    tagged = _annotate(_pages(spark, sf_dir), spark, _ents, _reds)
+    spans = _spans(tagged).persist()
+    spans.count()
+    el_stages["spans"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dim = _dim_df(spark, _ents)
+    mined = _mine(spans, dim, target_col="gt", max_targets_per_surface=8)
+    mined.count()
+    el_stages["mine"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    prof = _profiles(spans)
+    _link(spans, mined.withColumn("wikidata", mined["QID"]), profiles=prof,
+          aliases_hint="auto").count()
+    el_stages["link"] = round(time.time() - t0, 3)
+    spans.unpersist()
+
     # Pipeline throughput on a corpus large enough to amortize fixed
     # costs (the sf0.1 documents table is only 5k rows): deterministic
     # 40x replication of the derived pages, then the full extract->triple
@@ -90,6 +124,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "el_stages": el_stages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows": counts,
         "pipeline_docs": n_docs,
