@@ -345,10 +345,70 @@ def kg_el_quality(spark, sf_dir):
 def kg_entity_linking(spark, sf_dir):
     """Rows-only: the EL output table itself, reference-shaped
     (entity_id, page_title, wikidata, proba, on_page_id, on_page, gt,
-    rank — ned.py:32-34 plus rank)."""
+    rank — ned.py:32-34 plus rank). The score-free projection of the
+    same table is fully value-hash-checked by kg_el_table; the blended
+    proba column itself rides the P/R oracle (kg_el_quality)."""
     from kbspark.jobs import entity_linking_job
 
     return entity_linking_job(spark, sf_dir)
+
+
+@register(
+    "kg_el_table",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, UNNEST(words) AS tok, UNNEST(RANGE(0, LEN(words))) AS i
+      FROM w
+    ),
+    men AS (
+      SELECT doc_id, i, (doc_id * 1000003 + i * 101) % 17 AS h, tok,
+             UPPER(tok[1]) || tok[2:] AS title
+      FROM pos
+      WHERE LENGTH(tok) >= 4 AND (doc_id * 1000003 + i * 101) % 17 IN (0, 1, 2)
+    ),
+    typed AS (
+      SELECT doc_id, title,
+        CASE WHEN h = 0 THEN title ELSE tok END AS surface,
+        CASE LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(title) + 1),
+                                     j -> ORD(title[j]))) % 3
+          WHEN 0 THEN 'PER' WHEN 1 THEN 'LOC' ELSE 'ORG' END AS typ,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ordinal
+      FROM men
+    )
+    SELECT surface || '-' || typ || '-' || CAST(ordinal AS VARCHAR)
+             AS entity_id,
+           title AS page_title,
+           'Q' || CAST(CAST(CONCAT('0x', SUBSTR(MD5(title), 1, 6)) AS BIGINT)
+                       AS VARCHAR) AS wikidata,
+           'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR)
+             AS on_page_id,
+           'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS on_page,
+           title AS gt,
+           CAST(1 AS INT) AS rank
+    FROM typed
+    """,
+)
+def kg_el_table(spark, sf_dir):
+    """The EL table minus the blended float score, value-hash-checked
+    end-to-end: entity ids (surface-TYPE-ordinal, ordinal in document
+    order), resolved candidate titles, QIDs, page refs, ground truth and
+    rank all come out of the REAL pipeline (annotate → spans → alias
+    mining → scoring → window rank) and must match the SQL
+    generator-inverse row for row. On the derived corpus every surface
+    has exactly one target, so ranks are deterministic and no sentinel
+    rows exist — any pipeline regression (tokenizer, BIO, span grouping,
+    mining, ranking, sentinel logic) changes rows or ids and breaks the
+    hash."""
+    from kbspark.jobs import entity_linking_job
+
+    return entity_linking_job(spark, sf_dir).select(
+        "entity_id", "page_title", "wikidata", "on_page_id", "on_page",
+        "gt", "rank",
+    )
 
 
 @register(

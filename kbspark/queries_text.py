@@ -249,6 +249,42 @@ def t_lsh_near_dup_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "t_ngram_jaccard_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(words) - 2),
+               k -> ARRAY_TO_STRING(words[k+1:k+3], ' '))) AS s
+      FROM w WHERE LEN(words) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             LEN(LIST_INTERSECT(a.s, b.s)) AS inter,
+             LEN(a.s) AS sza, LEN(b.s) AS szb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter::DOUBLE / (sza + szb - inter), 6) AS jaccard
+    FROM pairs
+    WHERE ROUND(inter::DOUBLE / (sza + szb - inter), 6) >= 0.5
+    """,
+)
+def t_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard near-duplicate pairs via a posting-list
+    (inverted-index) join — the third dedup family next to MinHash-LSH
+    and SimHash; the oracle computes the same Jaccard all-pairs. The
+    ``max_postings`` stop-shingle cap is the scale knob (not triggered at
+    oracle scale; degenerate-cluster behavior tested in pytest)."""
+    from kbspark.textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(spark.table("documents"), n=3, threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------

@@ -133,6 +133,62 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+                        max_postings: int | None = None,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via a posting-list join
+    (the third dedup family next to MinHash-LSH and SimHash): explode
+    distinct shingles to (shingle -> doc) postings, equi-join on the
+    shingle, count shared shingles per pair, then
+    jaccard = shared / (|a| + |b| - shared).
+
+    Scale shape: the join is an inverted-index intersection — candidate
+    pairs are docs sharing >= 1 shingle, never an all-pairs product; the
+    per-pair count is a two-phase agg. ``max_postings`` (scale knob,
+    same story as ``max_bucket``): drop shingles whose document
+    frequency exceeds it — boilerplate stop-shingles that occur in 10^6
+    docs would alone emit 10^12 join rows while contributing only to
+    pairs far below any useful threshold. Dropping them makes the shared
+    count a lower bound (recall<1 on affected pairs), never a false
+    positive above it."""
+    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n).persist()
+    sizes_a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.size("shingles").alias("_sza")
+    )
+    sizes_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.size("shingles").alias("_szb")
+    )
+    posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_postings is not None:
+        wdf = W.partitionBy("shingle")
+        posts = posts.withColumn("_df", F.count("*").over(wdf)).filter(
+            F.col("_df") <= max_postings
+        ).drop("_df")
+    a = posts.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = posts.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        shared.join(sizes_a, "doc_a")
+        .join(sizes_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("_inter").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, represented as a 64-char '0'/'1'

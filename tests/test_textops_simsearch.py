@@ -234,3 +234,39 @@ def test_real_decoder_is_stubbed():
     with pytest.raises(RealDecoderUnavailable):
         real_decoder(b"payload")
     assert DeterministicFakeDecoder(8).features(b"x").shape == (8,)
+
+
+def test_ngram_jaccard_posting_cap(spark):
+    """Posting-list Jaccard: exact pairs above threshold; max_postings
+    drops boilerplate stop-shingles so a degenerate identical cluster
+    cannot quadratically explode the join, while distinctive pairs
+    survive."""
+    from kbspark.textops import ngram_jaccard_pairs
+
+    boiler = ["common header text repeated everywhere in this corpus"] * 30
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(100, 130)) + [1, 2, 3],
+            "text": boiler
+            + [
+                "rare subject alpha beta gamma delta epsilon zeta",
+                "rare subject alpha beta gamma delta epsilon eta",
+                "entirely different words with no overlap here at all",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    exact = ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    found = {tuple(r) for r in exact[["doc_a", "doc_b"]].values}
+    assert (1, 2) in found
+    assert len(exact) >= 30 * 29 / 2  # identical cluster: all pairs
+
+    capped = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_postings=5
+    ).toPandas()
+    cfound = {tuple(r) for r in capped[["doc_a", "doc_b"]].values}
+    assert (1, 2) in cfound  # df of its shingles is 2 <= cap
+    # boilerplate shingles (df=30 > 5) dropped -> cluster pairs gone
+    assert not any(a >= 100 and b >= 100 for a, b in cfound)
+    jac = exact.set_index(["doc_a", "doc_b"]).loc[(1, 2), "jaccard"]
+    assert abs(jac - 5 / 7) < 1e-6  # 5 shared of 6+6 distinct trigrams
