@@ -250,6 +250,43 @@ def t_lsh_near_dup_pairs(spark, sf_dir):
 
 
 @register(
+    "t_winnowing_fingerprints",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(RANGE(0, LEN(words) - 2),
+               i -> ARRAY_TO_STRING(words[i+1:i+3], ' ')) AS grams
+      FROM w WHERE LEN(words) >= 6
+    ),
+    h AS (
+      SELECT doc_id,
+             LIST_TRANSFORM(grams, x ->
+               CAST(CONCAT('0x', SUBSTR(MD5(x), 1, 8)) AS BIGINT)) AS hs
+      FROM g
+    ),
+    m AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(0, LEN(hs) - 3),
+               i -> LIST_MIN(hs[i+1:i+4]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, UNNEST(fps) AS fingerprint FROM m
+    """,
+)
+def t_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints, value-checked:
+    k=3 word-grams, window 4 — the oracle replays gram hashing, the
+    sliding window minima and the distinct selection in SQL."""
+    from kbspark.textops import winnowing_fingerprints
+
+    return winnowing_fingerprints(spark.table("documents"), k=3, window=4)
+
+
+@register(
     "t_ngram_jaccard_pairs",
     oracle="""
     WITH w AS (

@@ -65,6 +65,67 @@ def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in plan
 
 
+def streaming_windowed_counts(
+    spark: SparkSession,
+    source_path: str,
+    ts_col: str = "ts",
+    key_col: str = "k",
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+    max_files_per_trigger: int = 1,
+    query_name: str | None = None,
+    return_progress: bool = False,
+):
+    """Watermarked tumbling-window counts over a file stream — the
+    §2.G late-data path: ``withWatermark(ts, delay)`` bounds state, a
+    window is emitted exactly once when the watermark passes its end
+    (append mode), and events arriving after their window's state was
+    evicted are DROPPED (numRowsDroppedByWatermark), never
+    double-counted. One file per micro-batch so the watermark actually
+    advances across batches.
+
+    Returns (window_start, key, n) for every finalized window (plus the
+    recent progress list when ``return_progress``)."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(source_path).schema
+    name = query_name or f"winagg_{uuid.uuid4().hex[:8]}"
+    if os.path.isfile(source_path):
+        d = tempfile.mkdtemp(prefix="kbspark_stream_")
+        os.symlink(os.path.abspath(source_path),
+                   os.path.join(d, os.path.basename(source_path)))
+        source_path = d
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("win"), F.col(key_col)
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"), F.col(key_col), "n"
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    result = spark.table(name)
+    return (result, progress) if return_progress else result
+
+
 def streaming_exact_dedup(
     spark: SparkSession,
     source_path: str,

@@ -189,6 +189,45 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     )
 
 
+def winnowing_fingerprints(docs: DataFrame, k: int = 3, window: int = 4,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-word gram, slide a ``window`` over the hash
+    sequence, keep each window's minimum — guaranteeing any match of
+    length >= window+k-1 words shares a fingerprint. Output: one row per
+    distinct selected fingerprint (doc_id, fingerprint).
+
+    Entirely JVM-side list ops (no shuffle until the caller joins on the
+    fingerprint — the same posting-list shape as ``ngram_jaccard_pairs``
+    with density reduced by ~2/(window+1), which is the whole point at
+    100 TB: fingerprint postings are the index you can afford to keep)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    w = F.col("_w")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - k),
+        lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+    )
+    hashes = F.transform(
+        F.col("_g"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long"),
+    )
+    mins = F.transform(
+        F.sequence(F.lit(0), F.size(F.col("_h")) - window),
+        lambda i: F.array_min(F.slice(F.col("_h"), i + 1, window)),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        .filter(F.size("_w") >= k + window - 1)
+        .select("doc_id", grams.alias("_g"))
+        .select("doc_id", hashes.alias("_h"))
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(mins)).alias("fingerprint"),
+        )
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document, represented as a 64-char '0'/'1'

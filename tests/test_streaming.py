@@ -84,3 +84,55 @@ def test_streaming_dedup_state_is_fingerprint_keyed(spark, tmp_path):
     state = progress["stateOperators"][0]
     assert state["numRowsTotal"] == 50  # one O(1) row per fingerprint
     assert state["numRowsUpdated"] == 0  # all-dup batch rewrites nothing
+
+
+def test_watermarked_window_drops_late_and_emits_once(spark, tmp_path):
+    """§2.G late data: a 10-min window with a 5-min watermark. Batch 0
+    fills the 10:00 window; batch 1 advances the watermark past its end;
+    batch 2 triggers its eviction/emission; batch 3 delivers a LATE
+    event into the closed window — it must be dropped by the watermark
+    (numRowsDroppedByWatermark), the window emitted exactly once with
+    the on-time counts, and the still-open tail windows not emitted at
+    all (append mode)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from kbspark.streaming import streaming_windowed_counts
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)  # noqa: E731
+    batches = [
+        pd.DataFrame({"ts": [t(1), t(3), t(4)], "k": ["a", "a", "b"]}),
+        pd.DataFrame({"ts": [t(31)], "k": ["a"]}),  # watermark -> 10:26
+        pd.DataFrame({"ts": [t(33)], "k": ["b"]}),  # 10:00 window evicts
+        pd.DataFrame({"ts": [t(2), t(34)], "k": ["a", "a"]}),  # 10:02 late
+    ]
+    flat = tmp_path / "stream"
+    flat.mkdir()
+    import os as _os
+    import time as _time
+
+    base = _time.time() - 1000
+    for i, pdf in enumerate(batches):
+        tdir = tmp_path / f"t{i}"
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(tdir))
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(glob.glob(str(tdir / "*.parquet"))[0], dst)
+        # the file source orders micro-batches by mtime: make it explicit
+        _os.utime(dst, (base + 10 * i, base + 10 * i))
+
+    out, progress = streaming_windowed_counts(
+        spark, str(flat), return_progress=True
+    )
+    rows = {
+        (r.window_start.strftime("%H:%M"), r.k): r.n
+        for r in out.toPandas().itertuples()
+    }
+    # 10:00 window finalized with ON-TIME counts only (late 10:02 dropped)
+    assert rows == {("10:00", "a"): 2, ("10:00", "b"): 1}
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        if p.get("stateOperators")
+    )
+    assert dropped == 1  # exactly the late 10:02 event
