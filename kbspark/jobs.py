@@ -60,13 +60,28 @@ def flagship_triples(spark: SparkSession, sf_dir: str,
     return build_triples(spark, mentions, entity_types, redirect_targets)
 
 
-def tagged_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: per-(session, sf_dir) materialized tagged table — the reference's own
+#: dataflow: `tagged` is written ONCE (ner.py:267-288) and every consumer
+#: (stats, EL) reads the materialization instead of re-running extraction.
+_TAGGED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def tagged_table(spark: SparkSession, sf_dir: str,
+                 use_cache: bool = True) -> DataFrame:
     """documents → pages → per-sentence BIO-tagged table (the reference's
-    `tagged` table with typed nested arrays, ner.py:196-197)."""
+    `tagged` table with typed nested arrays, ner.py:196-197), persisted
+    once per session like the reference's materialized SQLite table."""
     pin_session_conf(spark)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if use_cache and key in _TAGGED_CACHE:
+        return _TAGGED_CACHE[key]
     pages = pages_from_documents(spark, sf_dir)
     entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
-    return annotate_stage(pages, spark, entity_types, redirect_targets)
+    tagged = annotate_stage(pages, spark, entity_types, redirect_targets)
+    if use_cache:
+        tagged = tagged.persist()
+        _TAGGED_CACHE[key] = tagged
+    return tagged
 
 
 def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,10 +100,9 @@ def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kbspark.triples import entity_dim_df
 
     pin_session_conf(spark)
-    pages = pages_from_documents(spark, sf_dir)
     entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
 
-    tagged = annotate_stage(pages, spark, entity_types, redirect_targets)
+    tagged = tagged_table(spark, sf_dir)
     # one full-corpus extraction pass: spans feed BOTH candidate mining
     # (surface->gt pairs) and linking — no second mention_stage scan
     spans = mention_spans(tagged).persist()
