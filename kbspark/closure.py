@@ -56,7 +56,10 @@ def reachable(
             new = new.persist()
         if new.isEmpty():
             break
-        visited = visited.unionByName(new).distinct().localCheckpoint()
+        # new is distinct and anti-joined against visited, so the union
+        # of the two disjoint distinct sets needs no distinct() — one
+        # fewer shuffle per BFS level
+        visited = visited.unionByName(new).localCheckpoint()
         frontier = new
     return visited
 

@@ -132,3 +132,33 @@ def test_clean_stage_plan_is_arrow_eval(spark):
     plan = _plan(clean_pages(pages))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # would indicate row-oriented eval
+
+
+def test_winnowing_is_narrow(spark, sf01_dir):
+    """Winnowing fingerprints: pure list ops + explode — zero shuffles
+    until a caller joins on the fingerprint."""
+    from kbspark.textops import winnowing_fingerprints
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    plan = _plan(winnowing_fingerprints(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_ngram_jaccard_is_posting_join(spark, sf01_dir):
+    """Posting-list Jaccard: equi-join on the shingle, no cartesian or
+    nested-loop product anywhere."""
+    from kbspark.textops import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, max_postings=1000))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_block_join_is_equi(spark, sf01_dir):
+    from kbspark.textops import simhash_near_dups
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    plan = _plan(simhash_near_dups(docs, max_bucket=500))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
