@@ -44,9 +44,18 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # warm the JVM/Arrow path once so per-query numbers measure the
-    # queries, not interpreter startup
+    # warm the JVM AND the Arrow/python-worker path once so per-query
+    # numbers measure the queries, not interpreter/worker startup
     spark.range(1000).selectExpr("sum(id)").collect()
+    import pandas as _pd
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pdf
+
+    spark.range(2048).selectExpr("id").mapInPandas(
+        _noop, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -46,21 +46,22 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = 8, shingle_n: int = 3,
 
 
 def _minhash_from_shingles(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
+    # all hash families as ONE wide aggregation (n_hashes min columns over
+    # the (doc, shingle) rows) instead of an n_hashes-way row explode —
+    # one shuffle of n_hashes-col partials; hash VALUES are unchanged
+    # (md5('<h>:<shingle>')), so the DuckDB oracles hold verbatim
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    families = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("h")
-    hashed = exploded.select(
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))
+        ).alias(f"_m{h}")
+        for h in range(n_hashes)
+    ]
+    wide = exploded.groupBy("doc_id").agg(*mins)
+    return wide.select(
         "doc_id",
-        families,
-        "shingle",
-    ).select(
-        "doc_id",
-        "h",
-        F.md5(F.concat(F.col("h").cast("string"), F.lit(":"), F.col("shingle"))).alias(
-            "hv"
-        ),
-    )
-    return hashed.groupBy("doc_id", "h").agg(F.min("hv").alias("minhash")).select(
-        "doc_id", F.col("h").cast("int").alias("band"), "minhash"
+        F.posexplode(F.array(*[F.col(f"_m{h}") for h in range(n_hashes)]))
+        .alias("band", "minhash"),
     )
 
 
