@@ -466,12 +466,70 @@ def t_simhash_near_dups(spark, sf_dir):
 def m_media_features(spark, sf_dir):
     """Rows-only: multimodal binary-column plumbing — metadata + decoded
     feature vectors over the pages' html payloads (decode = deterministic
-    fake; real codecs stubbed, kbspark/media.py)."""
+    fake; real codecs stubbed, kbspark/media.py). The metadata half of
+    the same stage is value-hash-checked by m_media_metadata; only the
+    RandomState-derived fake feature vector is SQL-inexpressible."""
     from kbspark.corpus import pages_from_documents
     from kbspark.media import media_features
 
     pages = pages_from_documents(spark, sf_dir)
     return media_features(pages)
+
+
+@register(
+    "m_media_metadata",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    ),
+    pieces AS (
+      SELECT doc_id, i,
+        CASE
+          WHEN h = 0 AND LENGTH(tok) >= 4 THEN '[[' || cap || ']]'
+          WHEN h = 1 AND LENGTH(tok) >= 4 THEN '[[' || cap || '|' || tok || ']]'
+          WHEN h = 2 AND LENGTH(tok) >= 4
+            THEN '[[' || cap || '_redir|' || tok || ']]'
+          WHEN h = 3 THEN '{{cite|' || tok || '}}'
+          WHEN h = 4 THEN '<ref>' || tok || '</ref>'
+          ELSE tok
+        END || CASE WHEN (i * 7 + doc_id) % 23 = 0 THEN ' .' ELSE '' END
+          AS piece
+      FROM (
+        SELECT doc_id, tok, i, (doc_id * 1000003 + i * 101) % 17 AS h,
+               UPPER(tok[1]) || tok[2:] AS cap
+        FROM (
+          SELECT doc_id, UNNEST(words) AS tok,
+                 UNNEST(RANGE(0, LEN(words))) AS i
+          FROM w
+        ) t
+      ) t2
+    ),
+    marked AS (
+      SELECT doc_id,
+             STRING_AGG(piece, ' ' ORDER BY i)
+               || ' == Literatur == trailing' AS markup
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'text/html' AS media_type,
+           CAST(OCTET_LENGTH(ENCODE(markup)) AS INT) AS n_bytes,
+           LOWER(SHA256(markup)) AS content_hash
+    FROM marked
+    """,
+)
+def m_media_metadata(spark, sf_dir):
+    """Binary-column metadata stage, value-hash-checked: payload byte
+    length and sha256 content hash of every page's html payload. The
+    oracle reconstructs the deterministic markup generator in SQL and
+    hashes the identical bytes — verifying both the media plumbing
+    (Arrow binary handling) and the page-derivation generator
+    end-to-end."""
+    from kbspark.corpus import pages_from_documents
+    from kbspark.media import media_metadata
+
+    pages = pages_from_documents(spark, sf_dir)
+    return media_metadata(pages)
 
 
 # squared-distance ordering expression shared by the IVF oracle's
