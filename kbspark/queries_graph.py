@@ -610,6 +610,112 @@ _IVF_ORACLE = f"""
 """
 
 
+@register(
+    "g_stream_watermark",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, event_type,
+        CASE WHEN ts < TIMESTAMP '2024-01-11' THEN 0
+             WHEN ts < TIMESTAMP '2024-01-21' THEN 1 ELSE 2 END AS base,
+        CAST(CONCAT('0x', SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 2))
+             AS INT) % 10 = 0 AS straggler
+      FROM events
+    ),
+    b AS (
+      SELECT *, CASE WHEN straggler THEN 2 ELSE base END AS batch FROM e
+    ),
+    -- Spark's bookkeeping, replayed: the watermark IN EFFECT during
+    -- batch k derives from event times through batch k-1; eviction at
+    -- the end of batch j uses that in-effect watermark. So a row
+    -- arriving in batch k is dropped iff its window was evicted in some
+    -- batch j <= k-1, i.e. window_end <= max(ts through batch k-2) - 1h.
+    -- Batch-1 arrivals can never be dropped (nothing evicted in batch 0);
+    -- batch-2 arrivals are dropped against w1 = max(batch 0 ts) - 1h.
+    wm AS (
+      SELECT
+        (SELECT MAX(ts) - INTERVAL 1 HOUR FROM b WHERE batch = 0) AS w1,
+        (SELECT MAX(ts) - INTERVAL 1 HOUR FROM b) AS wf
+    ),
+    kept AS (
+      SELECT b.* FROM b, wm
+      WHERE NOT (
+        batch = 2 AND DATE_TRUNC('day', ts) + INTERVAL 1 DAY <= wm.w1)
+    ),
+    agg AS (
+      SELECT DATE_TRUNC('day', ts) AS ws, event_type, COUNT(*) AS n
+      FROM kept GROUP BY 1, 2
+    )
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n
+    FROM agg, wm WHERE ws + INTERVAL 1 DAY <= wm.wf
+    """,
+)
+def g_stream_watermark(spark, sf_dir):
+    """Watermarked streaming aggregation, value-hash-checked: events are
+    replayed as three date-ordered micro-batches with md5-selected
+    stragglers delivered two batches late; 1-day tumbling windows with a
+    1-hour watermark. The oracle replays Spark's exact semantics —
+    per-batch watermark advance, eviction (emit-once on watermark
+    passage), and dropping of rows whose window was evicted in an
+    earlier batch. Any drift in watermark bookkeeping, window
+    boundaries, or late-row handling breaks the hash."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kbspark.streaming import streaming_windowed_counts
+
+    # withWatermark requires TIMESTAMP (LTZ); the parquet carries NTZ —
+    # session TZ is pinned UTC, so the cast is value-preserving
+    events = spark.table("events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    base = (
+        F.when(F.col("ts") < F.lit("2024-01-11").cast("timestamp"), 0)
+        .when(F.col("ts") < F.lit("2024-01-21").cast("timestamp"), 1)
+        .otherwise(2)
+    )
+    straggler = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 2), 16, 10
+        ).cast("int")
+        % 10
+        == 0
+    )
+    batched = events.withColumn(
+        "_batch", F.when(straggler, F.lit(2)).otherwise(base)
+    )
+
+    flat = tempfile.mkdtemp(prefix="kbspark_wmq_")
+    mtime = _time.time() - 1000
+    for k in range(3):
+        part_dir = tempfile.mkdtemp(prefix="kbspark_wmp_")
+        (
+            batched.filter(F.col("_batch") == k)
+            .drop("_batch")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        dst = os.path.join(flat, f"{k:03d}.parquet")
+        shutil.copy(glob.glob(os.path.join(part_dir, "*.parquet"))[0], dst)
+        os.utime(dst, (mtime + 10 * k, mtime + 10 * k))
+        shutil.rmtree(part_dir)
+
+    out = streaming_windowed_counts(
+        spark, flat, ts_col="ts", key_col="event_type",
+        window="1 day", watermark="1 hour",
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n",
+    )
+
+
 @register("s_knn_ivf", oracle=_IVF_ORACLE)
 def s_knn_ivf(spark, sf_dir):
     """IVF ANN, value-hash-checked end-to-end: the oracle replays the
