@@ -125,9 +125,14 @@ def build_entities(
     """The full load_entities dataflow. Returns the canonical dictionary:
     (page_title, wikidata, QID, label, sitelink, TYPE, PER, LOC, ORG,
     dateofbirth, inception, longitude, latitude, gndid)."""
-    per = load_class_group(class_frames, PER_CLASSES, "person", woa)
-    loc = load_class_group(class_frames, LOC_CLASSES, "location", woa)
-    org = load_class_group(class_frames, ORG_CLASSES, "organisation", woa)
+    # each group frame feeds BOTH the main union and its membership-flag
+    # join — persist so the per-group union/dedup subplan runs once, not
+    # once per consumer (dictionary-sized by definition)
+    per = load_class_group(class_frames, PER_CLASSES, "person", woa).persist()
+    loc = load_class_group(class_frames, LOC_CLASSES, "location", woa).persist()
+    org = load_class_group(
+        class_frames, ORG_CLASSES, "organisation", woa
+    ).persist()
 
     # group rank keeps pandas concat order per/loc/org (entities.py:34)
     per = per.withColumn("_ord", F.col("_ord") + F.lit(0 * 10**15))

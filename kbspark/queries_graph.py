@@ -716,6 +716,208 @@ def g_stream_watermark(spark, sf_dir):
     )
 
 
+_BUILD_ENTITIES_ORACLE = """
+    WITH seed AS (
+      SELECT c_custkey AS k, c_name,
+             c_custkey % 12 AS class_idx,
+             'http://www.wikidata.org/entity/Q'
+               || CAST(c_custkey % 700 AS VARCHAR) AS uri,
+             'https://de.wikipedia.org/wiki/Ent%20'
+               || CAST(c_custkey % 650 AS VARCHAR) AS sitelink
+      FROM customer
+    ),
+    typed AS (
+      SELECT k, c_name AS label, class_idx, uri, sitelink,
+        CASE WHEN class_idx < 3 THEN 0
+             WHEN class_idx < 5 THEN 1 ELSE 2 END AS g,
+        CASE WHEN class_idx < 3 THEN class_idx
+             WHEN class_idx < 5 THEN class_idx - 3
+             ELSE class_idx - 5 END AS rank,
+        CASE WHEN class_idx < 3 AND k % 7 <> 0
+             THEN TRY_CAST('19' || CAST(k % 80 + 10 AS VARCHAR) || '-01-01'
+                           AS TIMESTAMP) END AS dateofbirth,
+        CASE WHEN class_idx >= 5 AND k % 5 = 0
+             THEN TRY_CAST('18' || LPAD(CAST(k % 90 AS VARCHAR), 2, '0')
+                           || '-06-15' AS TIMESTAMP) END AS inception,
+        CASE WHEN class_idx IN (3, 4) AND k % 3 = 0
+             THEN 'Point(13.' || CAST(k % 90 AS VARCHAR)
+                  || ' -52.' || CAST(k % 60 AS VARCHAR) || ')' END AS coords,
+        CASE WHEN class_idx >= 5 AND k % 11 = 0
+             THEN 'gnd' || CAST(k AS VARCHAR) END AS gndid
+      FROM seed
+    ),
+    ord_rows AS (
+      SELECT *, g * 1000000000000000 + rank * 1000000000000 + k AS _ord
+      FROM typed
+    ),
+    grp AS (  -- per-group keep-first on the class URI + work-of-arts anti
+      SELECT * FROM ord_rows
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY g, uri ORDER BY _ord) = 1
+    ),
+    grp_clean AS (
+      SELECT * FROM grp
+      WHERE uri NOT IN (
+        SELECT 'http://www.wikidata.org/entity/Q'
+               || CAST(c_custkey % 700 AS VARCHAR)
+        FROM customer WHERE c_custkey % 97 = 0)
+    ),
+    agg AS (  -- per-QID first non-null per column, in union order
+      SELECT uri AS wikidata, MIN(_ord) AS _ord,
+        ARG_MIN(label, _ord) FILTER (WHERE label IS NOT NULL) AS label,
+        ARG_MIN(sitelink, _ord) FILTER (WHERE sitelink IS NOT NULL)
+          AS sitelink,
+        ARG_MIN(dateofbirth, _ord) FILTER (WHERE dateofbirth IS NOT NULL)
+          AS dateofbirth,
+        ARG_MIN(inception, _ord) FILTER (WHERE inception IS NOT NULL)
+          AS inception,
+        ARG_MIN(coords, _ord) FILTER (WHERE coords IS NOT NULL) AS coords,
+        ARG_MIN(gndid, _ord) FILTER (WHERE gndid IS NOT NULL) AS gndid
+      FROM grp_clean GROUP BY uri
+    ),
+    keep1 AS (
+      SELECT * FROM agg
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY wikidata
+        ORDER BY dateofbirth ASC NULLS LAST, inception ASC NULLS LAST,
+                 _ord ASC) = 1
+    ),
+    flagged AS (
+      SELECT k1.*,
+        k1.wikidata IN (SELECT uri FROM grp_clean WHERE g = 0) AS per0,
+        k1.wikidata IN (SELECT uri FROM grp_clean WHERE g = 1) AS LOC,
+        k1.wikidata IN (SELECT uri FROM grp_clean WHERE g = 2) AS ORG
+      FROM keep1 k1
+    ),
+    titled AS (
+      SELECT *,
+        CASE WHEN per0 AND ORG THEN FALSE ELSE per0 END AS PER,
+        REPLACE(REPLACE(sitelink, 'https://de.wikipedia.org/wiki/', ''),
+                '%20', ' ') AS page_title,
+        REGEXP_EXTRACT(coords,
+          'Point\\(([\\-0-9E.]+)\\W.([\\-0-9E.]+)\\)', 1) AS lon_raw,
+        REGEXP_EXTRACT(coords,
+          'Point\\(([\\-0-9E.]+)\\W.([\\-0-9E.]+)\\)', 2) AS lat_raw
+      FROM flagged
+    ),
+    final AS (
+      SELECT * FROM titled
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY page_title
+        ORDER BY dateofbirth ASC NULLS LAST, inception ASC NULLS LAST,
+                 wikidata ASC) = 1
+    )
+    SELECT page_title, wikidata,
+           NULLIF(REGEXP_EXTRACT(wikidata, '.*?(Q[0-9]+).*?', 1), '') AS QID,
+           label, sitelink,
+           TRIM(CASE WHEN PER THEN 'PER|' ELSE '|' END
+                || CASE WHEN LOC THEN 'LOC|' ELSE '|' END
+                || CASE WHEN ORG THEN 'ORG' ELSE '' END, '|') AS TYPE,
+           PER, LOC, ORG,
+           STRFTIME(dateofbirth, '%Y-%m-%d %H:%M:%S') AS dateofbirth,
+           STRFTIME(inception, '%Y-%m-%d %H:%M:%S') AS inception,
+           NULLIF(lon_raw, '') AS longitude, NULLIF(lat_raw, '') AS latitude,
+           gndid
+    FROM final
+"""
+
+
+@register("d_build_entities", oracle=_BUILD_ENTITIES_ORACLE)
+def d_build_entities(spark, sf_dir):
+    """The reference's join-entities stage (§3.2, wikidata/entities.py:
+    5-80) composed end-to-end over 12 derived class seed frames: ordered
+    union-by-name with varying optional columns, per-group keep-first
+    dedup on the class URI, work-of-arts anti-join, lenient date
+    coercion, per-QID first-non-null, WKT coords extraction, NaT-last
+    ordered keep-first, membership flags, PER&ORG precedence, TYPE
+    composition, sitelink->page_title unquote, final title dedup and QID
+    extraction. The oracle replays the entire dataflow in SQL. Parity
+    with the reference function itself over real seed pickles is
+    additionally asserted in tests/test_dims.py."""
+    from kbspark.dims import (
+        LOC_CLASSES,
+        ORG_CLASSES,
+        PER_CLASSES,
+        build_entities,
+    )
+
+    cust = spark.table("customer")
+    uri = F.concat(
+        F.lit("http://www.wikidata.org/entity/Q"),
+        (F.col("c_custkey") % 700).cast("string"),
+    )
+    sitelink = F.concat(
+        F.lit("https://de.wikipedia.org/wiki/Ent%20"),
+        (F.col("c_custkey") % 650).cast("string"),
+    )
+    all_classes = list(PER_CLASSES) + list(LOC_CLASSES) + list(ORG_CLASSES)
+    frames = {}
+    for idx, cls in enumerate(all_classes):
+        if cls in PER_CLASSES:
+            uri_col = "person"
+        elif cls in LOC_CLASSES:
+            uri_col = "location"
+        else:
+            uri_col = "organisation"
+        df = (
+            cust.filter(F.col("c_custkey") % 12 == idx)
+            .select(
+                uri.alias(uri_col),
+                F.col("c_name").alias("label"),
+                sitelink.alias("sitelink"),
+                F.col("c_custkey").cast("long").alias("_seq"),
+            )
+        )
+        k = F.col("_seq")
+        if uri_col == "person":
+            df = df.withColumn(
+                "dateofbirth",
+                F.when(
+                    k % 7 != 0,
+                    F.concat(
+                        F.lit("19"), (k % 80 + 10).cast("string"),
+                        F.lit("-01-01"),
+                    ),
+                ),
+            )
+        elif uri_col == "location":
+            df = df.withColumn(
+                "coords",
+                F.when(
+                    k % 3 == 0,
+                    F.concat(
+                        F.lit("Point(13."), (k % 90).cast("string"),
+                        F.lit(" -52."), (k % 60).cast("string"), F.lit(")"),
+                    ),
+                ),
+            )
+        else:
+            df = df.withColumn(
+                "inception",
+                F.when(
+                    k % 5 == 0,
+                    F.concat(
+                        F.lit("18"),
+                        F.lpad((k % 90).cast("string"), 2, "0"),
+                        F.lit("-06-15"),
+                    ),
+                ),
+            ).withColumn(
+                "gndid",
+                F.when(k % 11 == 0, F.concat(F.lit("gnd"), k.cast("string"))),
+            )
+        frames[cls] = df
+    woa = cust.filter(F.col("c_custkey") % 97 == 0).select(uri.alias("woa"))
+
+    out = build_entities(frames, woa, site="https://de.wikipedia.org/wiki/")
+    return out.select(
+        "page_title", "wikidata", "QID", "label", "sitelink", "TYPE",
+        "PER", "LOC", "ORG",
+        F.date_format("dateofbirth", "yyyy-MM-dd HH:mm:ss").alias(
+            "dateofbirth"
+        ),
+        F.date_format("inception", "yyyy-MM-dd HH:mm:ss").alias("inception"),
+        "longitude", "latitude", "gndid",
+    )
+
+
 @register("s_knn_ivf", oracle=_IVF_ORACLE)
 def s_knn_ivf(spark, sf_dir):
     """IVF ANN, value-hash-checked end-to-end: the oracle replays the
