@@ -341,13 +341,104 @@ def kg_el_quality(spark, sf_dir):
     return linking_quality_job(spark, sf_dir)
 
 
-@register("kg_entity_linking")
+_EL_FULL_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, UNNEST(words) AS tok, UNNEST(RANGE(0, LEN(words))) AS i
+      FROM w
+    ),
+    feat AS (
+      SELECT doc_id, tok, i, (doc_id * 1000003 + i * 101) % 17 AS h,
+             UPPER(tok[1]) || tok[2:] AS cap,
+             CASE WHEN (doc_id * 1000003 + i * 101) % 17 IN (3, 4)
+                  THEN 0 ELSE 1 END AS c,
+             CASE WHEN (i * 7 + doc_id) % 23 = 0 THEN 1 ELSE 0 END AS p
+      FROM pos
+    ),
+    -- sentence index of word i = periods injected strictly before i
+    -- (the splitter ends a sentence AFTER its period token)
+    fs AS (
+      SELECT *, COALESCE(SUM(p) OVER (PARTITION BY doc_id ORDER BY i
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sent
+      FROM feat
+    ),
+    stok AS (  -- lowercase token multiset of each sentence
+      SELECT doc_id, sent, tok FROM fs WHERE c = 1
+      UNION ALL
+      SELECT doc_id, sent, '.' AS tok FROM fs WHERE p = 1
+    ),
+    cterms AS (SELECT DISTINCT doc_id, sent, tok FROM stok),
+    ctxn AS (
+      SELECT doc_id, sent, COUNT(*) AS cn FROM cterms GROUP BY 1, 2
+    ),
+    men AS (
+      SELECT doc_id, i, sent, cap AS gt,
+             CASE WHEN h = 0 THEN cap ELSE tok END AS surface,
+             CASE LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(cap) + 1),
+                                          j -> ORD(cap[j]))) % 3
+               WHEN 0 THEN 'PER' WHEN 1 THEN 'LOC' ELSE 'ORG' END AS typ,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+               AS ordinal
+      FROM fs WHERE h IN (0, 1, 2) AND LENGTH(tok) >= 4
+    ),
+    -- per-entity context profile: a term is counted once per MENTION
+    -- whose sentence contains it (distinct-per-sentence), length > 1,
+    -- top-50 by (count desc, term asc) — entity_context_profiles replay
+    pterms AS (
+      SELECT m.gt, t.tok AS term, COUNT(*) AS n
+      FROM men m JOIN cterms t USING (doc_id, sent)
+      WHERE LENGTH(t.tok) > 1
+      GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT gt, term FROM pterms
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY gt
+        ORDER BY n DESC, term ASC) <= 50
+    ),
+    profn AS (SELECT gt, COUNT(*) AS pn FROM prof GROUP BY 1),
+    inter AS (
+      SELECT m.doc_id, m.i, COUNT(*) AS icnt
+      FROM men m
+      JOIN cterms t USING (doc_id, sent)
+      JOIN prof p ON p.gt = m.gt AND p.term = t.tok
+      GROUP BY 1, 2
+    )
+    -- blended score: apriori P(target|surface) is exactly 1.0 on the
+    -- derived corpus (unique target per surface), so
+    -- proba = round(0.5 + 0.5 * overlap / max(1, min(|ctx|, |prof|)), 6)
+    SELECT m.surface || '-' || m.typ || '-' || CAST(m.ordinal AS VARCHAR)
+             AS entity_id,
+           m.gt AS page_title,
+           'Q' || CAST(CAST(CONCAT('0x', SUBSTR(MD5(m.gt), 1, 6)) AS BIGINT)
+                       AS VARCHAR) AS wikidata,
+           ROUND(0.5 + 0.5 * COALESCE(i2.icnt, 0)
+                 / GREATEST(LEAST(c2.cn, COALESCE(p2.pn, 0)), 1), 6)
+             AS proba,
+           'https://crawl.example/doc/' || CAST(m.doc_id AS VARCHAR)
+             AS on_page_id,
+           'https://crawl.example/doc/' || CAST(m.doc_id AS VARCHAR)
+             AS on_page,
+           m.gt AS gt,
+           CAST(1 AS INT) AS rank
+    FROM men m
+    JOIN ctxn c2 ON c2.doc_id = m.doc_id AND c2.sent = m.sent
+    LEFT JOIN profn p2 ON p2.gt = m.gt
+    LEFT JOIN inter i2 ON i2.doc_id = m.doc_id AND i2.i = m.i
+"""
+
+
+@register("kg_entity_linking", oracle=_EL_FULL_ORACLE)
 def kg_entity_linking(spark, sf_dir):
-    """Rows-only: the EL output table itself, reference-shaped
-    (entity_id, page_title, wikidata, proba, on_page_id, on_page, gt,
-    rank — ned.py:32-34 plus rank). The score-free projection of the
-    same table is fully value-hash-checked by kg_el_table; the blended
-    proba column itself rides the P/R oracle (kg_el_quality)."""
+    """The EL output table itself, reference-shaped (entity_id,
+    page_title, wikidata, proba, on_page_id, on_page, gt, rank —
+    ned.py:32-34 plus rank), value-hash-checked INCLUDING the blended
+    float score: the oracle reconstructs every mention's sentence, the
+    per-entity context profiles (count-once-per-mention, top-50) and the
+    overlap-coefficient scoring from the corpus generator, so the whole
+    E1→E10 chain is verified down to the ranking score."""
     from kbspark.jobs import entity_linking_job
 
     return entity_linking_job(spark, sf_dir)
