@@ -567,6 +567,71 @@ def m_media_features(spark, sf_dir):
     return media_features(pages)
 
 
+_MARKUP_CTE = """
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    ),
+    pieces AS (
+      SELECT doc_id, i,
+        CASE
+          WHEN h = 0 AND LENGTH(tok) >= 4 THEN '[[' || cap || ']]'
+          WHEN h = 1 AND LENGTH(tok) >= 4 THEN '[[' || cap || '|' || tok || ']]'
+          WHEN h = 2 AND LENGTH(tok) >= 4
+            THEN '[[' || cap || '_redir|' || tok || ']]'
+          WHEN h = 3 THEN '{{cite|' || tok || '}}'
+          WHEN h = 4 THEN '<ref>' || tok || '</ref>'
+          ELSE tok
+        END || CASE WHEN (i * 7 + doc_id) % 23 = 0 THEN ' .' ELSE '' END
+          AS piece
+      FROM (
+        SELECT doc_id, tok, i, (doc_id * 1000003 + i * 101) % 17 AS h,
+               UPPER(tok[1]) || tok[2:] AS cap
+        FROM (
+          SELECT doc_id, UNNEST(words) AS tok,
+                 UNNEST(RANGE(0, LEN(words))) AS i
+          FROM w
+        ) t
+      ) t2
+    ),
+    marked AS (
+      SELECT doc_id,
+             STRING_AGG(piece, ' ' ORDER BY i)
+               || ' == Literatur == trailing' AS markup
+      FROM pieces GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "m_resize",
+    oracle=_MARKUP_CTE
+    + """
+    SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           CAST(OCTET_LENGTH(ENCODE(markup)) AS INT) AS n_bytes_in,
+           CAST(256 AS INT) AS n_bytes_out,
+           HEX(REPEAT(UNHEX(SHA256(markup)), 8)) AS resized_hex
+    FROM marked
+    """,
+)
+def m_resize(spark, sf_dir):
+    """Multimodal resize/transcode stage shape, value-hash-checked: the
+    deterministic fake (sha256-digest repetition to the 256-byte target;
+    a real image resize plugs in via the decoder seam) must reproduce
+    the exact output bytes — the oracle rebuilds the payload markup and
+    the digest repetition in SQL (hex-encoded; 256 = 8 x 32-byte digests
+    exactly)."""
+    from kbspark.corpus import pages_from_documents
+    from kbspark.media import resize
+
+    pages = pages_from_documents(spark, sf_dir)
+    out = resize(pages, target_bytes=256)
+    return out.select(
+        "url", "n_bytes_in", "n_bytes_out",
+        F.hex("resized").alias("resized_hex"),
+    )
+
+
 @register(
     "m_media_metadata",
     oracle="""
