@@ -228,6 +228,7 @@ class RegexTokenizer:
           (?P<url>https?://[^\s<>"']+|www\.[^\s<>"']+)
         | (?P<email>[\w.+-]+@[\w-]+(?:\.[\w-]+)+)
         | (?P<abbrev>(?<![\w.])(?:%s)(?!\w))
+        | (?P<cmc>(?<![\w])[#@]\w+)
         | (?P<time>\d{1,2}:\d{2}(?::\d{2})?)
         | (?P<number>\d+(?:[.,]\d+)*(?:\.(?!\s*$|\s*[.!?…]))?)
         | (?P<emoticon>[:;=8][-o^']?[()\[\]DdPp/\\|]+(?!\w))

@@ -56,6 +56,11 @@ GOLDENS = [
      ["Treffen", "um", "14:30", "Uhr", "!!"], 1),
     ("usw. usf. und so weiter …",
      ["usw.", "usf.", "und", "so", "weiter", "…"], 1),
+    # de_CMC classes: hashtags and @-mentions stay single tokens
+    ("Folgt @alice zum #spark Meetup!",
+     ["Folgt", "@alice", "zum", "#spark", "Meetup", "!"], 1),
+    ("3km sind ok?!?",
+     ["3", "km", "sind", "ok", "?!?"], 1),
 ]
 
 
