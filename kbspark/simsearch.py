@@ -196,30 +196,27 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return top.select("query_id", "neighbor_id", cosine.alias("cosine"))
 
 
+def _hyperplane_components(plane_id: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component j of plane p =
+    the first 15 hex chars of md5('p:j') scaled to [-1, 1). Computed
+    ONCE on the driver (the same bits the DuckDB contract oracle
+    derives in SQL — division by 2^59 is a lossless power-of-two scale,
+    so Python and SQL produce identical doubles) and shipped as an array
+    literal: deriving 1536 md5s per ROW inside the plan was the hot-spot
+    at corpus scale."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane_id}:{j}".encode()).hexdigest()[:15], 16)
+        / float(2**59)
+        - 1.0
+        for j in range(dim)
+    ]
+
+
 def _hyperplane_sign(vec_col, plane_id: int, dim: int):
-    """Sign of <v, h_p> where h_p is a deterministic pseudo-random
-    hyperplane: component j of plane p = the first 15 hex chars of
-    md5('p:j') scaled to [-1, 1). Fully JVM-side, reproducible across
-    runs/partitions, and recomputable by the DuckDB contract oracle
-    (md5 family like textops; xxhash64 has no DuckDB equivalent)."""
-    comps = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(":", F.lit(str(plane_id)), j.cast("string"))
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(2**59))
-            - F.lit(1.0)
-        ),
-    )
+    """Sign of <v, h_p> against the precomputed literal hyperplane."""
+    comps = F.lit(_hyperplane_components(plane_id, dim))
     proj = F.aggregate(
         F.zip_with(vec_col, comps, lambda x, h: x * h),
         F.lit(0.0),
