@@ -148,6 +148,47 @@ def linking_quality_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linking_quality(entity_linking_job(spark, sf_dir))
 
 
+def dedup_job(spark: SparkSession, sf_dir: str, method: str = "minhash-lsh",
+              threshold: float = 0.5, max_bucket: int = 10_000,
+              warehouse: str | None = None) -> DataFrame:
+    """Training-pipeline dedup over the documents table: one entry point
+    per family (exact fingerprint groups, MinHash-LSH pairs, SimHash
+    pairs, posting-list n-gram Jaccard pairs), each with its boilerplate
+    cap wired. With ``warehouse`` the pair/group table is committed
+    through the atomic-manifest catalog like every other stage output."""
+    from kbspark import textops
+    from pyspark.sql import functions as F
+
+    pin_session_conf(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if method == "exact":
+        fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+        out = (
+            docs.select("doc_id", fp.alias("fp"))
+            .groupBy("fp")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+                 F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+    elif method == "minhash-lsh":
+        out = textops.lsh_near_dup_pairs(
+            docs, threshold=threshold, max_bucket=max_bucket
+        )
+    elif method == "simhash":
+        out = textops.simhash_near_dups(docs, max_bucket=max_bucket)
+    elif method == "ngram-jaccard":
+        out = textops.ngram_jaccard_pairs(
+            docs, threshold=threshold, max_postings=max_bucket
+        )
+    else:  # pragma: no cover - argparse restricts choices
+        raise ValueError(f"unknown dedup method: {method}")
+    if warehouse:
+        from kbspark.catalog import Catalog
+
+        Catalog(spark, warehouse).overwrite(f"dedup_{method}", out)
+    return out
+
+
 def main(argv: list[str] | None = None) -> None:
     """spark-submit entry point (north rule deployment path):
 
@@ -160,10 +201,22 @@ def main(argv: list[str] | None = None) -> None:
     import json
 
     ap = argparse.ArgumentParser(prog="kbspark-jobs")
-    ap.add_argument("job", choices=["kb-build", "el", "el-quality", "triples"])
+    ap.add_argument(
+        "job",
+        choices=["kb-build", "el", "el-quality", "triples", "dedup"],
+    )
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--warehouse", default="/tmp/kbspark_warehouse")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--method",
+        choices=["exact", "minhash-lsh", "simhash", "ngram-jaccard"],
+        default="minhash-lsh",
+        help="dedup family for the dedup job",
+    )
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--max-bucket", type=int, default=10_000,
+                    help="boilerplate bucket/posting cap (scale knob)")
     args = ap.parse_args(argv)
 
     from kbspark.session import get_spark
@@ -183,6 +236,13 @@ def main(argv: list[str] | None = None) -> None:
     elif args.job == "triples":
         df = flagship_triples(spark, args.sf_dir)
         print(json.dumps({"rows": df.count()}))
+    elif args.job == "dedup":
+        df = dedup_job(
+            spark, args.sf_dir, method=args.method,
+            threshold=args.threshold, max_bucket=args.max_bucket,
+            warehouse=args.warehouse,
+        )
+        print(json.dumps({"method": args.method, "rows": df.count()}))
 
 
 if __name__ == "__main__":

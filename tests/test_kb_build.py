@@ -47,3 +47,23 @@ def test_kb_build_tables_and_resume(spark, sf001_dir, tmp_path):
     # re-run on the complete warehouse: no new triple work
     res3 = build_knowledge_base(spark, sf001_dir, wh_a, n_buckets=8)
     assert res3["stage"]["ran"] == []
+
+
+def test_dedup_job_families(spark, tmp_path, sf001_dir):
+    """CLI-level dedup over the documents table: every family runs end
+    to end and commits through the catalog; lsh and ngram agree exactly
+    (same threshold, exact verification)."""
+    from kbspark.jobs import dedup_job
+
+    lsh = dedup_job(spark, sf001_dir, method="minhash-lsh",
+                    warehouse=str(tmp_path / "wh"))
+    ng = dedup_job(spark, sf001_dir, method="ngram-jaccard")
+    lsh_pairs = {(r.doc_a, r.doc_b) for r in lsh.collect()}
+    ng_pairs = {(r.doc_a, r.doc_b) for r in ng.collect()}
+    assert lsh_pairs <= ng_pairs  # LSH recall <= exact posting join
+    assert len(ng_pairs) > 0
+    from kbspark.catalog import Catalog
+
+    assert Catalog(spark, str(tmp_path / "wh")).read(
+        "dedup_minhash-lsh"
+    ).count() == len(lsh_pairs)
