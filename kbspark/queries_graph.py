@@ -208,9 +208,8 @@ def kg_mentions(spark, sf_dir):
     )
 
 
-@register(
-    "kg_triples",
-    oracle=_ORACLE_MENTION_BASE
+_KG_TRIPLES_ORACLE = (
+    _ORACLE_MENTION_BASE
     + """,
     dict AS (
       SELECT DISTINCT UPPER(tok[1]) || tok[2:] AS title
@@ -244,14 +243,31 @@ def kg_mentions(spark, sf_dir):
     SELECT subj, pred, obj, n_occurrences FROM mention_triples
     UNION ALL SELECT * FROM entity_triples
     UNION ALL SELECT * FROM redirect_triples
-    """,
+    """
 )
+
+
+@register("kg_triples", oracle=_KG_TRIPLES_ORACLE)
 def kg_triples(spark, sf_dir):
     """The flagship itself, oracle-checked: full triple materialization
     (mentions/instance_of/redirects_to families) over the derived corpus."""
     from kbspark.jobs import flagship_triples
 
     return flagship_triples(spark, sf_dir).select(
+        "subj", "pred", "obj", "n_occurrences"
+    )
+
+
+@register("kg_triples_dimframes", oracle=_KG_TRIPLES_ORACLE)
+def kg_triples_dimframes(spark, sf_dir):
+    """The flagship forced onto its 100-TB dim path (dim_collect_cap=1
+    => DataFrame dims, relational J5 via resolve_mentions_frames, no
+    driver collect) — hash-checked against the SAME oracle as
+    kg_triples, so the driver records scale-path ≡ dict-path
+    equivalence, not just pytest."""
+    from kbspark.jobs import flagship_triples
+
+    return flagship_triples(spark, sf_dir, dim_collect_cap=1).select(
         "subj", "pred", "obj", "n_occurrences"
     )
 
