@@ -33,7 +33,8 @@ def test_full_run_and_metrics(spark, tmp_path):
     assert res["commits"] == 3  # ceil(8/3)
 
 
-def test_kill_and_exact_resume(spark, tmp_path):
+@pytest.mark.parametrize("kill_after", [1, 2, 3])
+def test_kill_and_exact_resume(spark, tmp_path, kill_after):
     cat_a = Catalog(spark, str(tmp_path / "a"))
     inp = _input(spark)
     # uninterrupted reference run
@@ -43,11 +44,11 @@ def test_kill_and_exact_resume(spark, tmp_path):
         map(tuple, cat_a.read("out").select("url", "value", "doubled").collect())
     )
 
-    # killed run: fault injection after 2 of 4 commits
+    # killed run: fault injection after kill_after of 4 commits
     cat_b = Catalog(spark, str(tmp_path / "b"))
     with pytest.raises(RuntimeError, match="fault injection"):
         run_stage(cat_b, "double", inp, _transform, "out", n_buckets=8,
-                  buckets_per_commit=2, fail_after_commits=2)
+                  buckets_per_commit=2, fail_after_commits=kill_after)
     done_after_crash = completed_buckets(cat_b, "out", "double")
     assert 0 < len(done_after_crash) < 8
 
