@@ -650,39 +650,8 @@ def m_resize(spark, sf_dir):
 
 @register(
     "m_media_metadata",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
-      FROM documents
-    ),
-    pieces AS (
-      SELECT doc_id, i,
-        CASE
-          WHEN h = 0 AND LENGTH(tok) >= 4 THEN '[[' || cap || ']]'
-          WHEN h = 1 AND LENGTH(tok) >= 4 THEN '[[' || cap || '|' || tok || ']]'
-          WHEN h = 2 AND LENGTH(tok) >= 4
-            THEN '[[' || cap || '_redir|' || tok || ']]'
-          WHEN h = 3 THEN '{{cite|' || tok || '}}'
-          WHEN h = 4 THEN '<ref>' || tok || '</ref>'
-          ELSE tok
-        END || CASE WHEN (i * 7 + doc_id) % 23 = 0 THEN ' .' ELSE '' END
-          AS piece
-      FROM (
-        SELECT doc_id, tok, i, (doc_id * 1000003 + i * 101) % 17 AS h,
-               UPPER(tok[1]) || tok[2:] AS cap
-        FROM (
-          SELECT doc_id, UNNEST(words) AS tok,
-                 UNNEST(RANGE(0, LEN(words))) AS i
-          FROM w
-        ) t
-      ) t2
-    ),
-    marked AS (
-      SELECT doc_id,
-             STRING_AGG(piece, ' ' ORDER BY i)
-               || ' == Literatur == trailing' AS markup
-      FROM pieces GROUP BY doc_id
-    )
+    oracle=_MARKUP_CTE
+    + """
     SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
            'text/html' AS media_type,
            CAST(OCTET_LENGTH(ENCODE(markup)) AS INT) AS n_bytes,
