@@ -1248,9 +1248,11 @@ def q18_large_volume_customer(spark, sf_dir):
         big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey",
         "left_semi",
     )
+    # customer scales with the corpus — no forced broadcast; AQE picks
+    # broadcast-vs-shuffle from runtime stats
     c = spark.table("customer")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy(
             "c_name",
