@@ -19,6 +19,21 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: characters Spark/Hive escape in partition directory names
+#: (ExternalCatalogUtils.escapePathName): control chars + the listed set.
+_PART_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
+
+
+def escape_part_value(v) -> str:
+    """Render a partition value exactly as Spark writes the directory
+    name (URL-style %XX escapes for the Hive-reserved set). Spark writes
+    ``part_col=<escaped>`` — a literal f-string match silently misses
+    directories for values containing '/', '=', etc. (ADVICE r02)."""
+    s = str(v)
+    return "".join(
+        f"%{ord(c):02X}" if c in _PART_ESCAPE else c for c in s
+    )
+
 
 class Catalog:
     def __init__(self, spark: SparkSession, root: str):
@@ -119,7 +134,9 @@ class Catalog:
         part_col = staged["part_col"]
         paths = []
         for v in values:
-            p = os.path.join(staged["base"], f"{part_col}={v}")
+            p = os.path.join(
+                staged["base"], f"{part_col}={escape_part_value(v)}"
+            )
             if os.path.isdir(p):
                 paths.append(p)
         entries = self._load_manifest(table)
@@ -133,6 +150,36 @@ class Catalog:
         entries.append(entry)
         self._commit_manifest(table, entries)
         return entry
+
+    def vacuum_stages(self, table: str) -> list[str]:
+        """Delete staged snapshot directories (``stage-*``) that no
+        manifest entry references — the orphans left when a writer
+        crashes between ``stage_partitioned`` and its ``commit_staged``
+        batches (ADVICE r02: without GC, repeated kill/resume cycles
+        accumulate unreferenced parquet forever). Committed bases are
+        never touched; single-writer per table by design, so a stage dir
+        with no manifest reference at resume time is dead. Returns the
+        removed paths."""
+        import shutil
+
+        tdir = os.path.join(self.root, table)
+        if not os.path.isdir(tdir):
+            return []
+        referenced = {
+            e["base_path"] for e in self._load_manifest(table)
+            if "base_path" in e
+        }
+        removed = []
+        for d in os.listdir(tdir):
+            path = os.path.join(tdir, d)
+            if (
+                d.startswith("stage-")
+                and os.path.isdir(path)
+                and path not in referenced
+            ):
+                shutil.rmtree(path)
+                removed.append(path)
+        return removed
 
     def read(self, table: str) -> DataFrame:
         entries = self._load_manifest(table)

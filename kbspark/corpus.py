@@ -225,8 +225,12 @@ DIM_COLLECT_CAP = 500_000
 
 #: per-process memo of collected dims, keyed by sf_dir (the driver runs
 #: many contract queries in one process; /root/testdata is immutable, so
-#: re-deriving the same vocab dictionary per query is pure waste).
-_DIM_CACHE: dict[tuple[str, int], tuple[dict[str, str], dict[str, str]]] = {}
+#: re-deriving the same vocab dictionary per query is pure waste). The
+#: over-cap outcome is memoized too (as None) so repeated frame-path runs
+#: don't re-execute the limit(cap+1) probe every invocation.
+_DIM_CACHE: dict[
+    tuple[str, int], tuple[dict[str, str], dict[str, str]] | None
+] = {}
 
 
 def _entity_type_of(title: str) -> str:
@@ -292,6 +296,7 @@ def try_dims_from_documents(
         return _DIM_CACHE[key]
     rows = vocab_titles(spark, sf_dir).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
+        _DIM_CACHE[key] = None
         return None
     titles = sorted(r["title"] for r in rows)
     entity_types = {t: _entity_type_of(t) for t in titles}

@@ -230,7 +230,18 @@ class RegexTokenizer:
         | (?P<abbrev>(?<![\w.])(?:%s)(?!\w))
         | (?P<cmc>(?<![\w])[#@]\w+)
         | (?P<time>\d{1,2}:\d{2}(?::\d{2})?)
-        | (?P<number>\d+(?:[.,]\d+)*(?:\.(?!\s*$|\s*[.!?…]))?)
+        # ordinal period absorbed ONLY before a continuation — lowercase
+        # word/digit or a known ordinal-follower ('3. Januar') — so a
+        # sentence-final number ('endete 1945. Danach ...') leaves the
+        # period as its own terminal token and the splitter splits, as
+        # SoMaJo does (ADVICE r02). (?-i: = the continuation check is
+        # case-SENSITIVE inside this IGNORECASE regex.
+        | (?P<number>\d+(?:[.,]\d+)*
+            (?:\.(?=\s*(?-i:[a-zäöüß0-9]
+                        |(?:Januar|Februar|März|April|Mai|Juni|Juli
+                           |August|September|Oktober|November|Dezember
+                           |Jahrhundert|Jh|Klasse|Platz|Auflage|Liga
+                           |Sinfonie|Armee|Bezirk|Arrondissement)(?!\w))))?)
         | (?P<emoticon>[:;=8][-o^']?[()\[\]DdPp/\\|]+(?!\w))
         | (?P<punct_run>\.{2,}|…|[!?][!?.]*)
         | (?P<word>\w+(?:[-'’]\w+)*)

@@ -84,6 +84,10 @@ def run_stage(
     done = completed_buckets(catalog, output_table, stage)
     pending = [b for b in range(n_buckets) if b not in done]
 
+    # resume-time GC: drop stage dirs no manifest entry references (the
+    # orphans of a crash between staging and commit) before staging anew
+    catalog.vacuum_stages(output_table)
+
     ran: list[int] = []
     commits = 0
     if pending:

@@ -37,18 +37,27 @@ class RealDecoderUnavailable(NotImplementedError):
 
 
 class DeterministicFakeDecoder:
-    """Stands in for a codec: derives a fixed-dim float feature from the
-    payload bytes (seeded by content hash) — deterministic across runs
-    and partitionings, so downstream tests/pipelines are exact."""
+    """Stands in for a codec: derives a fixed-dim float feature directly
+    from the sha256 digest of the payload bytes — deterministic across
+    runs and partitionings, AND replayable in plain SQL (lane i =
+    uint16 of digest bytes [2i, 2i+1) / 65536, exactly representable in
+    float32), so the feature stage is value-oracle-checkable end-to-end
+    (the m_media_features DuckDB oracle recomputes the lanes from
+    SHA256 hex substrings)."""
 
     def __init__(self, dim: int = 16):
         self.dim = dim
 
     def features(self, payload: bytes) -> np.ndarray:
-        digest = hashlib.sha256(payload).digest()
-        seed = int.from_bytes(digest[:4], "big")
-        rng = np.random.RandomState(seed)
-        return rng.rand(self.dim).astype("float32")
+        # extend the lane material by chained digests for dim > 16
+        material = hashlib.sha256(payload).digest()
+        while len(material) < 2 * self.dim:
+            material += hashlib.sha256(material[-32:]).digest()
+        lanes = [
+            int.from_bytes(material[2 * i : 2 * i + 2], "big") / 65536.0
+            for i in range(self.dim)
+        ]
+        return np.asarray(lanes, dtype="float32")
 
 
 def real_decoder(*_args, **_kwargs):

@@ -569,20 +569,6 @@ def t_simhash_near_dups(spark, sf_dir):
     )
 
 
-@register("m_media_features")
-def m_media_features(spark, sf_dir):
-    """Rows-only: multimodal binary-column plumbing — metadata + decoded
-    feature vectors over the pages' html payloads (decode = deterministic
-    fake; real codecs stubbed, kbspark/media.py). The metadata half of
-    the same stage is value-hash-checked by m_media_metadata; only the
-    RandomState-derived fake feature vector is SQL-inexpressible."""
-    from kbspark.corpus import pages_from_documents
-    from kbspark.media import media_features
-
-    pages = pages_from_documents(spark, sf_dir)
-    return media_features(pages)
-
-
 _MARKUP_CTE = """
     WITH w AS (
       SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
@@ -617,6 +603,47 @@ _MARKUP_CTE = """
       FROM pieces GROUP BY doc_id
     )
 """
+
+
+_FEATURE_LANES = ",\n".join(
+    "           ROUND(CAST(CONCAT('0x', SUBSTR(SHA256(markup), "
+    f"{4 * i + 1}, 4)) AS BIGINT) / 65536.0, 6) AS f{i:02d}"
+    for i in range(16)
+)
+
+
+@register(
+    "m_media_features",
+    oracle=_MARKUP_CTE
+    + f"""
+    SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'text/html' AS media_type,
+           CAST(OCTET_LENGTH(ENCODE(markup)) AS INT) AS n_bytes,
+           LOWER(SHA256(markup)) AS content_hash,
+{_FEATURE_LANES}
+    FROM marked
+    """,
+)
+def m_media_features(spark, sf_dir):
+    """Multimodal decode + feature-extract stage, value-hash-checked
+    end-to-end: metadata plus the 16 decoded feature lanes over the
+    pages' html payloads (decode = deterministic sha256-derived fake;
+    real codecs stubbed behind the decoder seam, kbspark/media.py). The
+    oracle rebuilds the payload markup in SQL and recomputes every lane
+    from SHA256 hex substrings — lane values are k/2^16 so float32 ==
+    double exactly. Lanes are emitted as scalar columns (f00..f15)
+    rather than an array so the driver's pandas canonicalizer can sort
+    and hash them (CLAUDE.md checker pitfalls)."""
+    from kbspark.corpus import pages_from_documents
+    from kbspark.media import media_features
+
+    pages = pages_from_documents(spark, sf_dir)
+    feats = media_features(pages)
+    lanes = [
+        F.round(F.col("feature")[i].cast("double"), 6).alias(f"f{i:02d}")
+        for i in range(16)
+    ]
+    return feats.select("url", "media_type", "n_bytes", "content_hash", *lanes)
 
 
 @register(

@@ -282,19 +282,6 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))
 
 
-def _hamming_str(a, b):
-    """Hamming distance between equal-length bit strings — JVM-side."""
-    return F.aggregate(
-        F.zip_with(
-            F.split(a, "(?!^)"),
-            F.split(b, "(?!^)"),
-            lambda x, y: F.when(x != y, 1).otherwise(0),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-
-
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       n_blocks: int = 4,
                       max_bucket: int | None = None) -> DataFrame:

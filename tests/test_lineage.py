@@ -110,3 +110,45 @@ def test_catalog_atomic_overwrite(spark, tmp_path):
     cat.overwrite("t", _input(spark, 3))
     assert cat.row_count("t") == 3
     assert cat.read("t").count() == 3
+
+
+def test_vacuum_orphan_stages(spark, tmp_path):
+    """A crash between staging and the first commit orphans the stage
+    dir; the next run_stage GCs it (ADVICE r02). Committed bases are
+    never vacuumed."""
+    import os
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    # orphan: staged but never committed (crash-before-commit analog)
+    cat.stage_partitioned("out", _transform(_input(spark, 20)).withColumn(
+        "_bucket", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int")
+    ), "_bucket")
+    tdir = str(tmp_path / "wh" / "out")
+    assert any(d.startswith("stage-") for d in os.listdir(tdir))
+
+    run_stage(cat, "double", _input(spark), _transform, "out", n_buckets=4)
+    stage_dirs = [d for d in os.listdir(tdir) if d.startswith("stage-")]
+    # exactly the referenced base survives; the orphan is gone
+    manifest_bases = {
+        os.path.basename(e["base_path"])
+        for e in cat.snapshots("out") if "base_path" in e
+    }
+    assert set(stage_dirs) == manifest_bases
+    assert cat.read("out").count() == 500
+    # a second resume run vacuums nothing and stays value-identical
+    removed_before = set(stage_dirs)
+    run_stage(cat, "double", _input(spark), _transform, "out", n_buckets=4)
+    assert {
+        d for d in os.listdir(tdir) if d.startswith("stage-")
+    } == removed_before
+
+
+def test_partition_value_escaping():
+    """commit_staged matches directories the way Spark writes them:
+    URL-escaped partition values (latent bug for string partition
+    values containing '/', '=', ... — ADVICE r02)."""
+    from kbspark.catalog import escape_part_value
+
+    assert escape_part_value(7) == "7"
+    assert escape_part_value("a/b=c:d") == "a%2Fb%3Dc%3Ad"
+    assert escape_part_value("plain-Value_1.x") == "plain-Value_1.x"

@@ -61,6 +61,17 @@ GOLDENS = [
      ["Folgt", "@alice", "zum", "#spark", "Meetup", "!"], 1),
     ("3km sind ok?!?",
      ["3", "km", "sind", "ok", "?!?"], 1),
+    # sentence-final number: the period is NOT an ordinal marker when a
+    # capitalized sentence-opener follows (ADVICE r02) — SoMaJo splits
+    ("Der Krieg endete 1945. Danach kam der Frieden.",
+     ["Der", "Krieg", "endete", "1945", ".", "Danach", "kam", "der",
+      "Frieden", "."], 2),
+    # ...but a true mid-sentence ordinal (lowercase continuation) absorbs
+    ("Sie wurde 3. in der Liga.",
+     ["Sie", "wurde", "3.", "in", "der", "Liga", "."], 1),
+    ("Das 19. Jahrhundert endete 1900. Niemand bemerkte es.",
+     ["Das", "19.", "Jahrhundert", "endete", "1900", ".", "Niemand",
+      "bemerkte", "es", "."], 2),
 ]
 
 
