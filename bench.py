@@ -23,12 +23,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
-    "a2_salted_apriori",
+    "a2_apriori_salted",
     "a1_graph_closure",
     "t_lsh_near_dup_pairs",
     "t_simhash_near_dups",
     "s_knn_bruteforce",
-    "w_sessionize",
+    "w_windows",
 ]
 
 

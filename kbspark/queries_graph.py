@@ -461,64 +461,6 @@ def kg_entity_linking(spark, sf_dir):
 
 
 @register(
-    "kg_el_table",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
-      FROM documents
-    ),
-    pos AS (
-      SELECT doc_id, UNNEST(words) AS tok, UNNEST(RANGE(0, LEN(words))) AS i
-      FROM w
-    ),
-    men AS (
-      SELECT doc_id, i, (doc_id * 1000003 + i * 101) % 17 AS h, tok,
-             UPPER(tok[1]) || tok[2:] AS title
-      FROM pos
-      WHERE LENGTH(tok) >= 4 AND (doc_id * 1000003 + i * 101) % 17 IN (0, 1, 2)
-    ),
-    typed AS (
-      SELECT doc_id, title,
-        CASE WHEN h = 0 THEN title ELSE tok END AS surface,
-        CASE LIST_SUM(LIST_TRANSFORM(RANGE(1, LENGTH(title) + 1),
-                                     j -> ORD(title[j]))) % 3
-          WHEN 0 THEN 'PER' WHEN 1 THEN 'LOC' ELSE 'ORG' END AS typ,
-        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS ordinal
-      FROM men
-    )
-    SELECT surface || '-' || typ || '-' || CAST(ordinal AS VARCHAR)
-             AS entity_id,
-           title AS page_title,
-           'Q' || CAST(CAST(CONCAT('0x', SUBSTR(MD5(title), 1, 6)) AS BIGINT)
-                       AS VARCHAR) AS wikidata,
-           'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR)
-             AS on_page_id,
-           'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS on_page,
-           title AS gt,
-           CAST(1 AS INT) AS rank
-    FROM typed
-    """,
-)
-def kg_el_table(spark, sf_dir):
-    """The EL table minus the blended float score, value-hash-checked
-    end-to-end: entity ids (surface-TYPE-ordinal, ordinal in document
-    order), resolved candidate titles, QIDs, page refs, ground truth and
-    rank all come out of the REAL pipeline (annotate → spans → alias
-    mining → scoring → window rank) and must match the SQL
-    generator-inverse row for row. On the derived corpus every surface
-    has exactly one target, so ranks are deterministic and no sentinel
-    rows exist — any pipeline regression (tokenizer, BIO, span grouping,
-    mining, ranking, sentinel logic) changes rows or ids and breaks the
-    hash."""
-    from kbspark.jobs import entity_linking_job
-
-    return entity_linking_job(spark, sf_dir).select(
-        "entity_id", "page_title", "wikidata", "on_page_id", "on_page",
-        "gt", "rank",
-    )
-
-
-@register(
     "t_simhash_near_dups",
     oracle="""
     WITH tok AS (
@@ -647,57 +589,43 @@ def m_media_features(spark, sf_dir):
 
 
 @register(
-    "m_resize",
+    "m_media_stages",
     oracle=_MARKUP_CTE
     + """
     SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'text/html' AS media_type,
+           CAST(OCTET_LENGTH(ENCODE(markup)) AS INT) AS n_bytes,
+           LOWER(SHA256(markup)) AS content_hash,
            CAST(OCTET_LENGTH(ENCODE(markup)) AS INT) AS n_bytes_in,
            CAST(256 AS INT) AS n_bytes_out,
            HEX(REPEAT(UNHEX(SHA256(markup)), 8)) AS resized_hex
     FROM marked
     """,
 )
-def m_resize(spark, sf_dir):
-    """Multimodal resize/transcode stage shape, value-hash-checked: the
-    deterministic fake (sha256-digest repetition to the 256-byte target;
-    a real image resize plugs in via the decoder seam) must reproduce
-    the exact output bytes — the oracle rebuilds the payload markup and
-    the digest repetition in SQL (hex-encoded; 256 = 8 x 32-byte digests
-    exactly)."""
+def m_media_stages(spark, sf_dir):
+    """Metadata + resize/transcode media stages in one driver entry
+    (merged r02's m_media_metadata + m_resize — the driver records at
+    most ~50 entries, so near-duplicate entries are compounded; each
+    stage's columns stay distinguishable in the value hash):
+
+    - metadata: payload byte length + sha256 content hash of every
+      page's html payload (Arrow binary handling end-to-end);
+    - resize: the deterministic fake transcode (sha256-digest repetition
+      to the 256-byte target; a real image codec plugs in via the
+      decoder seam) byte-parity-checked via hex.
+
+    The oracle reconstructs the markup generator in SQL and recomputes
+    hashes/bytes over identical payloads."""
     from kbspark.corpus import pages_from_documents
-    from kbspark.media import resize
+    from kbspark.media import media_metadata, resize
 
     pages = pages_from_documents(spark, sf_dir)
-    out = resize(pages, target_bytes=256)
-    return out.select(
+    meta = media_metadata(pages)
+    rz = resize(pages, target_bytes=256).select(
         "url", "n_bytes_in", "n_bytes_out",
         F.hex("resized").alias("resized_hex"),
     )
-
-
-@register(
-    "m_media_metadata",
-    oracle=_MARKUP_CTE
-    + """
-    SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
-           'text/html' AS media_type,
-           CAST(OCTET_LENGTH(ENCODE(markup)) AS INT) AS n_bytes,
-           LOWER(SHA256(markup)) AS content_hash
-    FROM marked
-    """,
-)
-def m_media_metadata(spark, sf_dir):
-    """Binary-column metadata stage, value-hash-checked: payload byte
-    length and sha256 content hash of every page's html payload. The
-    oracle reconstructs the deterministic markup generator in SQL and
-    hashes the identical bytes — verifying both the media plumbing
-    (Arrow binary handling) and the page-derivation generator
-    end-to-end."""
-    from kbspark.corpus import pages_from_documents
-    from kbspark.media import media_metadata
-
-    pages = pages_from_documents(spark, sf_dir)
-    return media_metadata(pages)
+    return meta.join(rz, "url")
 
 
 # squared-distance ordering expression shared by the IVF oracle's

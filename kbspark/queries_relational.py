@@ -162,33 +162,6 @@ def q5_local_supplier(spark, sf_dir):
 
 
 @register(
-    "q4_order_priority",
-    oracle="""
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-)
-def q4_order_priority(spark, sf_dir):
-    """TPC-H Q4 shape: EXISTS → left_semi join + agg."""
-    o = spark.table("orders").filter(
-        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
-    )
-    l = spark.table("lineitem")
-    sem = o.join(
-        l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate),
-        "left_semi",
-    )
-    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
-
-
-@register(
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name,
@@ -226,78 +199,6 @@ def q10_returned_items(spark, sf_dir):
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(price * disc).cast("double").alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
-    )
-
-
-@register(
-    "q12_shipmode_buckets",
-    oracle="""
-    SELECT l_linestatus,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    GROUP BY l_linestatus
-    """,
-)
-def q12_shipmode_buckets(spark, sf_dir):
-    """TPC-H Q12 shape: conditional-sum buckets over a join."""
-    o, l = spark.table("orders"), spark.table("lineitem")
-    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        o.join(l, o.o_orderkey == l.l_orderkey)
-        .filter(F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        .groupBy("l_linestatus")
-        .agg(
-            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
-                "high_line_count"
-            ),
-            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
-                "low_line_count"
-            ),
-        )
-    )
-
-
-@register(
-    "q14_promo_effect",
-    oracle="""
-    SELECT CAST(
-      100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
-                       (1 - CAST(l_discount AS DECIMAL(18,4)))
-                  ELSE CAST(0 AS DECIMAL(18,4)) END)
-      / SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-            (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS promo_revenue
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
-    """,
-)
-def q14_promo_effect(spark, sf_dir):
-    """TPC-H Q14 shape: conditional revenue ratio over a broadcast join;
-    exact decimal accumulation keeps the single-double output
-    engine-identical."""
-    l, p = spark.table("lineitem"), spark.table("part")
-    rev = F.col("l_extendedprice").cast(_DEC) * (
-        F.lit(1) - F.col("l_discount").cast(_DEC)
-    )
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
-        F.lit(0).cast(_DEC)
-    )
-    return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
-        )
-        .agg(
-            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
-            .cast("double")
-            .alias("promo_revenue")
-        )
     )
 
 
@@ -370,83 +271,6 @@ def q19_disjunctive(spark, sf_dir):
 
 
 @register(
-    "p1_filter_pushdown",
-    oracle="""
-    SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
-    FROM orders
-    WHERE o_orderstatus = 'O'
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-    """,
-)
-def p1_filter_pushdown(spark, sf_dir):
-    """P1: predicate + column pruning pushed to the parquet scan
-    (reference pushes WHERE into SQLite scans, entities.py:34,107)."""
-    return (
-        spark.table("orders")
-        .filter(
-            (F.col("o_orderstatus") == "O")
-            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        )
-        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("totalprice"))
-    )
-
-
-@register(
-    "p2_prefix_suffix_filter",
-    oracle="""
-    SELECT p_partkey, p_name
-    FROM part
-    WHERE p_name LIKE 'red%' AND p_name NOT LIKE '%bolt'
-    """,
-)
-def p2_prefix_suffix_filter(spark, sf_dir):
-    """P2: startswith/endswith predicates (reference drops 'Liste_'
-    prefixes and 'Begriffsklärung)' suffixes, entities.py:65,
-    ner.py:331-332)."""
-    p = spark.table("part")
-    return p.filter(
-        F.col("p_name").startswith("red") & ~F.col("p_name").endswith("bolt")
-    ).select("p_partkey", "p_name")
-
-
-@register(
-    "p3_anti_join",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    """,
-)
-def p3_anti_join(spark, sf_dir):
-    """P3: anti-membership as left_anti join (reference's
-    ~index.isin(...) type-priority exclusion, entities.py:233-236)."""
-    c, o = spark.table("customer"), spark.table("orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
-    )
-
-
-@register(
-    "p4_semi_join",
-    oracle="""
-    SELECT s_suppkey, s_name FROM supplier
-    WHERE s_suppkey IN (
-      SELECT l_suppkey FROM lineitem
-      WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00')
-    """,
-)
-def p4_semi_join(spark, sf_dir):
-    """P4: inner-join-as-filter rendered as left_semi (reference filters
-    redirects to entity targets via merge, entities.py:118)."""
-    s = spark.table("supplier")
-    l = spark.table("lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
-    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
-        "s_suppkey", "s_name"
-    )
-
-
-@register(
     "p7_having_threshold",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders
@@ -489,32 +313,6 @@ def j1_broadcast_dim_join(spark, sf_dir):
 
 
 @register(
-    "j4_left_join_chain",
-    oracle="""
-    SELECT r.r_name, n.n_name, COUNT(c.c_custkey) AS n_customers,
-           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal
-    FROM customer c
-    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY r.r_name, n.n_name
-    """,
-)
-def j4_left_join_chain(spark, sf_dir):
-    """J4: chained left joins (QID cross-language mapping chain,
-    wikipedia/entities.py:294-302)."""
-    c, n, r = spark.table("customer"), spark.table("nation"), spark.table("region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
-        .groupBy("r_name", "n_name")
-        .agg(
-            F.count("c_custkey").alias("n_customers"),
-            _dsum("c_acctbal").alias("sum_acctbal"),
-        )
-    )
-
-
-@register(
     "j5_lookup_probe",
     oracle="""
     SELECT p.p_brand, COUNT(*) AS n_items,
@@ -537,52 +335,6 @@ def j5_lookup_probe(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # §2.D aggregations
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "a2_apriori_probs",
-    oracle="""
-    SELECT l_partkey AS target, COUNT(*) AS n_links,
-           COUNT(*) / (SELECT COUNT(*) FROM lineitem) AS proba
-    FROM lineitem GROUP BY l_partkey
-    """,
-)
-def a2_apriori_probs(spark, sf_dir):
-    """A2: per-key link counts / total = a-priori probabilities — one
-    shuffle agg replacing the reference's N point queries
-    (wikipedia/entities.py:320-375)."""
-    li = spark.table("lineitem")
-    total = li.count()
-    return (
-        li.groupBy(F.col("l_partkey").alias("target"))
-        .agg(F.count("*").alias("n_links"))
-        .withColumn("proba", F.col("n_links") / F.lit(total).cast("double"))
-    )
-
-
-@register(
-    "a2_salted_apriori",
-    oracle="""
-    SELECT l_partkey AS target, COUNT(*) AS n_links,
-           COUNT(*) / (SELECT COUNT(*) FROM lineitem) AS proba
-    FROM lineitem GROUP BY l_partkey
-    """,
-)
-def a2_salted_apriori(spark, sf_dir):
-    """A2 with explicit skew salting: pre-aggregate on (key, salt), then
-    final-aggregate on key (SURVEY §2.D A2; north_rule head-entity skew).
-    Must equal the unsalted result exactly — same oracle as
-    a2_apriori_probs."""
-    from kbspark.apriori import salted_count
-
-    li = spark.table("lineitem")
-    total = li.count()
-    counts = salted_count(li, key="l_partkey", n_salts=16)
-    return counts.select(
-        F.col("l_partkey").alias("target"),
-        F.col("n_links"),
-        (F.col("n_links") / F.lit(total).cast("double")).alias("proba"),
-    )
 
 
 @register(
@@ -637,210 +389,14 @@ def a4_group_first_nonnull(spark, sf_dir):
     )
 
 
-@register(
-    "a5_keep_first_ordered",
-    oracle="""
-    SELECT o_custkey, o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate
-    FROM (
-      SELECT o_custkey, o_orderkey, o_orderdate,
-             ROW_NUMBER() OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC) AS rn
-      FROM orders
-    ) WHERE rn = 1
-    """,
-)
-def a5_keep_first_ordered(spark, sf_dir):
-    """A5: ordered keep-first per key with NULLS LAST — the reference's
-    sort_values + drop_duplicates(keep='first') canonical-row pick
-    (wikidata/entities.py:49-53; pandas sorts NaT last)."""
-    w = W.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
-    )
-    return (
-        spark.table("orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        )
-    )
-
-
-@register(
-    "a6_collect_sorted",
-    oracle="""
-    SELECT o_custkey,
-           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ',') AS statuses
-    FROM orders GROUP BY o_custkey
-    """,
-)
-def a6_collect_sorted(spark, sf_dir):
-    """A6: group-concat to (sorted) collection — the nested-list packing
-    analog (ner.py:191-195), emitted as a canonical string."""
-    return (
-        spark.table("orders")
-        .groupBy("o_custkey")
-        .agg(
-            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
-                "statuses"
-            )
-        )
-    )
-
-
-@register(
-    "a8_dup_count_metric",
-    oracle="""
-    SELECT COUNT(*) AS n_dup_keys FROM (
-      SELECT l_orderkey, l_linenumber FROM lineitem
-      GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
-    )
-    """,
-)
-def a8_dup_count_metric(spark, sf_dir):
-    """A8: duplicate-key count as a data-quality metric (the reference's
-    'duplicated redirects should be zero' check,
-    wikipedia/entities.py:123)."""
-    dup = (
-        spark.table("lineitem")
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-    )
-    return dup.agg(F.count("*").alias("n_dup_keys"))
-
-
 # ---------------------------------------------------------------------------
 # §2.F sorts / splits / set ops / top-k
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "o3_hash_split",
-    oracle="""
-    SELECT CASE WHEN SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4'
-                THEN 'test' ELSE 'train' END AS split,
-           COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
-    FROM customer GROUP BY 1
-    """,
-)
-def o3_hash_split(spark, sf_dir):
-    """O3: deterministic hash-based train/test split — partitioning-stable
-    replacement for the reference's seeded permutation split
-    (ner.py:317,336-346; intentionally hash-based, SURVEY §2.F O3)."""
-    c = spark.table("customer").withColumn(
-        "split",
-        F.when(
-            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "4", "test"
-        ).otherwise("train"),
-    )
-    return c.groupBy("split").agg(
-        F.count("*").alias("n"),
-        F.sum("c_custkey").cast("bigint").alias("key_sum"),
-    )
-
-
-@register(
-    "o4_union_by_name",
-    oracle="""
-    SELECT n_name, n_regionkey, extra, COUNT(*) AS n FROM (
-      (SELECT n_name, n_regionkey, NULL::VARCHAR AS extra FROM nation)
-      UNION ALL BY NAME
-      (SELECT n_name, 'flag' AS extra FROM nation WHERE n_nationkey < 10)
-    ) GROUP BY n_name, n_regionkey, extra
-    """,
-)
-def o4_union_by_name(spark, sf_dir):
-    """O4: union-by-name with missing columns → NULL (pandas
-    concat(sort=True) semantics, wikidata/entities.py:18,34)."""
-    n = spark.table("nation")
-    a = n.select("n_name", "n_regionkey")
-    b = n.filter(F.col("n_nationkey") < 10).select(
-        "n_name", F.lit("flag").alias("extra")
-    )
-    return (
-        a.unionByName(b, allowMissingColumns=True)
-        .groupBy("n_name", "n_regionkey", "extra")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "o6_topk_per_group",
-    oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice AS totalprice FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (
-               PARTITION BY o_custkey
-               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-)
-def o6_topk_per_group(spark, sf_dir):
-    """O6: deterministic top-k per group via window row_number."""
-    w = W.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
-    )
-    return (
-        spark.table("orders")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.col("o_totalprice").alias("totalprice"))
-    )
-
-
 # ---------------------------------------------------------------------------
 # §2.E scalar extraction (SQL-expressible subset)
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "e7_regex_extract",
-    oracle="""
-    SELECT c_custkey, REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_num
-    FROM customer
-    """,
-)
-def e7_regex_extract(spark, sf_dir):
-    """E7: regex column extraction (QID extraction
-    r'.*?(Q[0-9]+).*?', wikidata/entities.py:74)."""
-    return spark.table("customer").select(
-        "c_custkey", F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_num")
-    )
-
-
-@register(
-    "e12_date_coercion",
-    oracle="""
-    SELECT o_orderkey,
-           STRFTIME(TRY_CAST(ds AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS coerced
-    FROM (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
-                  ELSE STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS ds
-      FROM orders
-    )
-    """,
-)
-def e12_date_coercion(spark, sf_dir):
-    """E12: lenient date parsing, failures → NULL (pandas
-    to_datetime(errors='coerce'), wikidata/entities.py:36-37)."""
-    o = spark.table("orders").select(
-        "o_orderkey",
-        F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-date"))
-        .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
-        .alias("ds"),
-    )
-    return o.select(
-        "o_orderkey",
-        F.date_format(
-            F.try_to_timestamp(F.col("ds")), "yyyy-MM-dd HH:mm:ss"
-        ).alias("coerced"),
-    )
 
 
 @register(
@@ -895,53 +451,6 @@ def d_wikidata_mapping(spark, sf_dir):
 
 
 @register(
-    "o3_hash_split_lib",
-    oracle="""
-    SELECT split, COUNT(*) AS n FROM (
-      SELECT CASE
-        WHEN h < 0.8 THEN 'train'
-        WHEN h < 0.9 THEN 'dev'
-        WHEN h < 1.0 THEN 'test'
-        ELSE 'rest' END AS split
-      FROM (
-        SELECT CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('41', ':',
-                     CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
-               / 4294967296.0 AS h
-        FROM customer
-      )
-    ) GROUP BY split
-    """,
-)
-def o3_hash_split_lib(spark, sf_dir):
-    """O3 via the library hash_split (train/dev/test fractions), proven
-    byte-equivalent to the SQL oracle's md5-nibble arithmetic."""
-    from kbspark.dims import hash_split
-
-    out = hash_split(
-        spark.table("customer"), "c_custkey",
-        {"train": 0.8, "dev": 0.1, "test": 0.1}, seed=41,
-    )
-    return out.groupBy("split").agg(F.count("*").alias("n"))
-
-
-@register(
-    "e11_json_extract",
-    oracle="""
-    SELECT event_id, CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS k_value
-    FROM events
-    """,
-)
-def e11_json_extract(spark, sf_dir):
-    """E11: JSON encode/decode of nested payloads (the reference packs
-    sentence structures as JSON strings, ner.py:196/ned.py:50-53; here
-    the events.props column)."""
-    return spark.table("events").select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
-    )
-
-
-@register(
     "x_asof_join",
     oracle="""
     SELECT c.event_id,
@@ -977,65 +486,6 @@ def x_asof_join(spark, sf_dir):
 
 
 @register(
-    "x_rollup",
-    oracle="""
-    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
-def x_rollup(spark, sf_dir):
-    """Hierarchical rollup aggregation (beyond-reference OLAP breadth;
-    NULL markers for subtotal levels match ANSI semantics)."""
-    return (
-        spark.table("lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
-        )
-    )
-
-
-@register(
-    "x_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def x_cube(spark, sf_dir):
-    """Full cube over two dimensions."""
-    return (
-        spark.table("orders")
-        .cube("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"))
-    )
-
-
-@register(
-    "x_pivot",
-    oracle="""
-    SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O'
-                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F'
-                THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS F
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
-def x_pivot(spark, sf_dir):
-    """Pivot linestatus into columns (conditional-agg equivalent keeps
-    the oracle portable)."""
-    return (
-        spark.table("lineitem")
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
-    )
-
-
-@register(
     "x_percentile_exact",
     oracle="""
     SELECT o_orderpriority,
@@ -1063,29 +513,6 @@ def x_percentile_exact(spark, sf_dir):
 
 
 @register(
-    "w_tumbling_window",
-    oracle="""
-    SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-           event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
-    """,
-)
-def w_tumbling_window(spark, sf_dir):
-    """Tumbling time-window aggregation over the events table."""
-    return (
-        spark.table("events")
-        .groupBy(
-            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
-                "hour"
-            ),
-            "event_type",
-        )
-        .agg(F.count("*").alias("n"), _dsum("value").alias("sum_value"))
-    )
-
-
-@register(
     "g_stream_incremental",
     oracle="""
     SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -1110,84 +537,10 @@ def g_stream_incremental(spark, sf_dir):
     return run_incremental(spark, f"{sf_dir}/events.parquet", agg)
 
 
-@register(
-    "w_sessionize",
-    oracle="""
-    WITH gaps AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
-                       LAG(ts) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-      SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM gaps
-    )
-    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           COUNT(*) AS n_events
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
-def w_sessionize(spark, sf_dir):
-    """Sessionization: lag-gap > 30min starts a new session; cumulative
-    sum assigns session ids (OLAP-pattern sessionize; no reference analog
-    — training-pipeline addition)."""
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    ts_secs = F.col("ts").cast("timestamp").cast("long")
-    lag_secs = F.lag(ts_secs).over(w)
-    gaps = spark.table("events").withColumn(
-        "new_session",
-        F.when(lag_secs.isNull() | (ts_secs - lag_secs > 30 * 60), 1).otherwise(0),
-    )
-    sess = gaps.withColumn(
-        "session_id",
-        F.sum("new_session")
-        .over(w.rowsBetween(W.unboundedPreceding, 0))
-        .cast("bigint"),
-    )
-    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
-
-
 # ---------------------------------------------------------------------------
 # Additional TPC-H shapes (round 2): simple filtered agg, outer-join
 # distribution, group-having semi-join, scalar-subquery + anti-join
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "q6_revenue_forecast",
-    oracle="""
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-                    CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def q6_revenue_forecast(spark, sf_dir):
-    """TPC-H Q6 shape: conjunctive range predicates all pushed to the
-    scan, single exact-decimal aggregate."""
-    li = spark.table("lineitem")
-    return (
-        li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(_DEC)
-                * F.col("l_discount").cast(_DEC)
-            )
-            .cast("double")
-            .alias("revenue")
-        )
-    )
 
 
 @register(
@@ -1308,3 +661,723 @@ def q22_dormant_rich_customers(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Compound driver entries (round 3): the driver records at most ~50
+# contract entries per round (both r01 and r02 recorded exactly 50), so
+# near-duplicate entries are merged into compound queries. Every merged
+# operator keeps its own tagged rows / columns in the result, so the
+# order-insensitive value hash still pins each operator individually —
+# nothing is verified less, it just costs fewer registry slots (and scans).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p_scan_filters",
+    oracle="""
+    SELECT 'p1' AS op, o_orderkey AS k1, o_custkey AS k2,
+           CAST(NULL AS VARCHAR) AS s, o_totalprice AS v
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    UNION ALL
+    SELECT 'p2', p_partkey, CAST(NULL AS BIGINT), p_name,
+           CAST(NULL AS DOUBLE)
+    FROM part
+    WHERE p_name LIKE 'red%' AND p_name NOT LIKE '%bolt'
+    """,
+)
+def p_scan_filters(spark, sf_dir):
+    """P1 (predicate + column pruning pushed to the parquet scan — the
+    reference pushes WHERE into SQLite scans, entities.py:34,107) and P2
+    (startswith/endswith predicates — 'Liste_' prefixes /
+    'Begriffsklärung)' suffixes, entities.py:65, ner.py:331-332) as one
+    driver entry. Each side of the union is its own scan, so both
+    filters still push down independently (plan-asserted in
+    tests/test_plans.py)."""
+    p1 = (
+        spark.table("orders")
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        )
+        .select(
+            F.lit("p1").alias("op"),
+            F.col("o_orderkey").alias("k1"),
+            F.col("o_custkey").alias("k2"),
+            F.lit(None).cast("string").alias("s"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    p2 = (
+        spark.table("part")
+        .filter(
+            F.col("p_name").startswith("red") & ~F.col("p_name").endswith("bolt")
+        )
+        .select(
+            F.lit("p2").alias("op"),
+            F.col("p_partkey").alias("k1"),
+            F.lit(None).cast("bigint").alias("k2"),
+            F.col("p_name").alias("s"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    return p1.unionByName(p2)
+
+
+@register(
+    "p_membership",
+    oracle="""
+    SELECT 'p3' AS op, c_custkey AS k, c_name AS name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'p4', s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00')
+    """,
+)
+def p_membership(spark, sf_dir):
+    """P3 anti-membership as left_anti join (the reference's
+    ~index.isin(...) type-priority exclusion, entities.py:233-236) and
+    P4 inner-join-as-filter as left_semi (redirect filtering via merge,
+    entities.py:118) in one driver entry."""
+    c, o = spark.table("customer"), spark.table("orders")
+    p3 = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.lit("p3").alias("op"),
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+        )
+    )
+    s = spark.table("supplier")
+    l = spark.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    p4 = (
+        s.join(l, s.s_suppkey == l.l_suppkey, "left_semi")
+        .select(
+            F.lit("p4").alias("op"),
+            F.col("s_suppkey").alias("k"),
+            F.col("s_name").alias("name"),
+        )
+    )
+    return p3.unionByName(p4)
+
+
+_A2_ORACLE_BODY = """
+      SELECT l_partkey AS target, COUNT(*) AS n_links,
+             COUNT(*) / (SELECT COUNT(*) FROM lineitem) AS proba
+      FROM lineitem GROUP BY l_partkey
+"""
+
+
+@register(
+    "a2_apriori_salted",
+    oracle=f"""
+    WITH agg AS ({_A2_ORACLE_BODY})
+    SELECT 'plain' AS variant, target, n_links, proba FROM agg
+    UNION ALL
+    SELECT 'salted', target, n_links, proba FROM agg
+    """,
+)
+def a2_apriori_salted(spark, sf_dir):
+    """A2 a-priori link probabilities (one shuffle agg replacing the
+    reference's N point queries, wikipedia/entities.py:320-375), run
+    through BOTH the plain groupBy and the explicit skew-salted
+    two-phase aggregate (pre-agg on (key, salt), final on key —
+    north_rule head-entity skew) in one driver entry: the salted result
+    must equal the plain one exactly, and the oracle pins both."""
+    from kbspark.apriori import salted_count
+
+    li = spark.table("lineitem")
+    total = li.count()
+    plain = (
+        li.groupBy(F.col("l_partkey").alias("target"))
+        .agg(F.count("*").alias("n_links"))
+        .select(
+            F.lit("plain").alias("variant"),
+            "target",
+            "n_links",
+            (F.col("n_links") / F.lit(total).cast("double")).alias("proba"),
+        )
+    )
+    salted = salted_count(li, key="l_partkey", n_salts=16).select(
+        F.lit("salted").alias("variant"),
+        F.col("l_partkey").alias("target"),
+        F.col("n_links"),
+        (F.col("n_links") / F.lit(total).cast("double")).alias("proba"),
+    )
+    return plain.unionByName(salted)
+
+
+@register(
+    "c_group_misc",
+    oracle="""
+    SELECT 'a5' AS op, o_custkey AS k,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS s,
+           CAST(o_orderkey AS DOUBLE) AS v
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC NULLS LAST, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    UNION ALL
+    SELECT 'a6', o_custkey,
+           ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ','),
+           CAST(NULL AS DOUBLE)
+    FROM orders GROUP BY o_custkey
+    UNION ALL
+    SELECT 'a8', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+           CAST((SELECT COUNT(*) FROM (
+             SELECT l_orderkey, l_linenumber FROM lineitem
+             GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+           )) AS DOUBLE)
+    UNION ALL
+    SELECT 'o6', o_custkey, CAST(o_orderkey AS VARCHAR), o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def c_group_misc(spark, sf_dir):
+    """Grouped-operator compound (merged r02's a5 + a6 + a8 + o6; rows
+    tagged per operator, schema (op, k, s, v)):
+
+    - a5: ordered keep-first per key, NULLS LAST (the reference's
+      sort_values + drop_duplicates(keep='first'),
+      wikidata/entities.py:49-53)
+    - a6: group-concat to sorted collection (nested-list packing analog,
+      ner.py:191-195), emitted canonically
+    - a8: duplicate-key count as a data-quality metric
+      (wikipedia/entities.py:123)
+    - o6: deterministic top-k per group via window row_number
+    """
+    orders = spark.table("orders")
+    w5 = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc_nulls_last(), F.col("o_orderkey").asc()
+    )
+    a5 = (
+        orders.withColumn("rn", F.row_number().over(w5))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.lit("a5").alias("op"),
+            F.col("o_custkey").alias("k"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("s"),
+            F.col("o_orderkey").cast("double").alias("v"),
+        )
+    )
+    a6 = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses")
+        )
+        .select(
+            F.lit("a6").alias("op"),
+            F.col("o_custkey").alias("k"),
+            F.col("statuses").alias("s"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    a8 = (
+        spark.table("lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count("*").alias("n_dup_keys"))
+        .select(
+            F.lit("a8").alias("op"),
+            F.lit(None).cast("bigint").alias("k"),
+            F.lit(None).cast("string").alias("s"),
+            F.col("n_dup_keys").cast("double").alias("v"),
+        )
+    )
+    w6 = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    o6 = (
+        orders.withColumn("rn", F.row_number().over(w6))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.lit("o6").alias("op"),
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderkey").cast("string").alias("s"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    return a5.unionByName(a6).unionByName(a8).unionByName(o6)
+
+
+@register(
+    "c_split_extract_misc",
+    oracle="""
+    WITH o3 AS (
+      SELECT CASE WHEN SUBSTR(MD5(CAST(c_custkey AS VARCHAR)), 1, 1) < '4'
+                  THEN 'test' ELSE 'train' END AS split,
+             COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+      FROM customer GROUP BY 1
+    ),
+    o3lib AS (
+      SELECT split, COUNT(*) AS n FROM (
+        SELECT CASE
+          WHEN h < 0.8 THEN 'train'
+          WHEN h < 0.9 THEN 'dev'
+          WHEN h < 1.0 THEN 'test'
+          ELSE 'rest' END AS split
+        FROM (
+          SELECT CAST(CAST(CONCAT('0x', SUBSTR(MD5(CONCAT('41', ':',
+                       CAST(c_custkey AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+                 / 4294967296.0 AS h
+          FROM customer
+        )
+      ) GROUP BY split
+    )
+    SELECT 'o3' AS op, CAST(NULL AS BIGINT) AS k, split AS s,
+           CAST(n AS DOUBLE) AS v
+    FROM o3
+    UNION ALL
+    SELECT 'o3_sum', CAST(NULL AS BIGINT), split, CAST(key_sum AS DOUBLE)
+    FROM o3
+    UNION ALL
+    SELECT 'o3lib', CAST(NULL AS BIGINT), split, CAST(n AS DOUBLE)
+    FROM o3lib
+    UNION ALL
+    SELECT 'o4', CAST(n_regionkey AS BIGINT),
+           n_name || '|' || COALESCE(extra, '<null>'), CAST(n AS DOUBLE)
+    FROM (
+      SELECT n_name, n_regionkey, extra, COUNT(*) AS n FROM (
+        (SELECT n_name, n_regionkey, NULL::VARCHAR AS extra FROM nation)
+        UNION ALL BY NAME
+        (SELECT n_name, 'flag' AS extra FROM nation WHERE n_nationkey < 10)
+      ) GROUP BY n_name, n_regionkey, extra
+    )
+    UNION ALL
+    SELECT 'e7', c_custkey, REGEXP_EXTRACT(c_name, '([0-9]+)', 1),
+           CAST(NULL AS DOUBLE)
+    FROM customer
+    UNION ALL
+    SELECT 'e11', event_id, CAST(NULL AS VARCHAR),
+           CAST(JSON_EXTRACT(props, '$.k') AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'e12', o_orderkey,
+           STRFTIME(TRY_CAST(ds AS TIMESTAMP), '%Y-%m-%d %H:%M:%S'),
+           CAST(NULL AS DOUBLE)
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-date'
+                  ELSE STRFTIME(o_orderdate, '%Y-%m-%d %H:%M:%S') END AS ds
+      FROM orders
+    )
+    """,
+)
+def c_split_extract_misc(spark, sf_dir):
+    """Split / set-op / scalar-extraction compound (merged r02's o3 +
+    o3_lib + o4 + e7 + e11 + e12; rows tagged per operator, schema
+    (op, k, s, v)):
+
+    - o3/o3_sum: deterministic hash-based train/test split —
+      partitioning-stable replacement for the reference's seeded
+      permutation split (ner.py:317,336-346)
+    - o3lib: the library ``hash_split`` (train/dev/test fractions),
+      byte-equivalent to the SQL md5-nibble arithmetic
+    - o4: union-by-name, missing columns -> NULL (pandas
+      concat(sort=True), wikidata/entities.py:18,34)
+    - e7: regex column extraction (QID regex, wikidata/entities.py:74)
+    - e11: JSON decode of nested payloads (ner.py:196, ned.py:50-53)
+    - e12: lenient date parsing, failures -> NULL (pandas
+      to_datetime(errors='coerce'), wikidata/entities.py:36-37)
+    """
+    from kbspark.dims import hash_split
+
+    c = spark.table("customer")
+    o3_grp = c.withColumn(
+        "split",
+        F.when(
+            F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) < "4",
+            "test",
+        ).otherwise("train"),
+    ).groupBy("split").agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
+    nullk = F.lit(None).cast("bigint").alias("k")
+    o3 = o3_grp.select(
+        F.lit("o3").alias("op"), nullk, F.col("split").alias("s"),
+        F.col("n").cast("double").alias("v"),
+    )
+    o3_sum = o3_grp.select(
+        F.lit("o3_sum").alias("op"), nullk, F.col("split").alias("s"),
+        F.col("key_sum").cast("double").alias("v"),
+    )
+    o3lib = (
+        hash_split(c, "c_custkey", {"train": 0.8, "dev": 0.1, "test": 0.1},
+                   seed=41)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("o3lib").alias("op"), nullk, F.col("split").alias("s"),
+            F.col("n").cast("double").alias("v"),
+        )
+    )
+    n = spark.table("nation")
+    o4 = (
+        n.select("n_name", "n_regionkey")
+        .unionByName(
+            n.filter(F.col("n_nationkey") < 10).select(
+                "n_name", F.lit("flag").alias("extra")
+            ),
+            allowMissingColumns=True,
+        )
+        .groupBy("n_name", "n_regionkey", "extra")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("o4").alias("op"),
+            F.col("n_regionkey").cast("bigint").alias("k"),
+            F.concat_ws(
+                "|", F.col("n_name"), F.coalesce(F.col("extra"), F.lit("<null>"))
+            ).alias("s"),
+            F.col("n").cast("double").alias("v"),
+        )
+    )
+    e7 = c.select(
+        F.lit("e7").alias("op"),
+        F.col("c_custkey").alias("k"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("s"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    e11 = spark.table("events").select(
+        F.lit("e11").alias("op"),
+        F.col("event_id").alias("k"),
+        F.lit(None).cast("string").alias("s"),
+        F.get_json_object("props", "$.k").cast("double").alias("v"),
+    )
+    e12 = (
+        spark.table("orders")
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("not-a-date"))
+            .otherwise(F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+            .alias("ds"),
+        )
+        .select(
+            F.lit("e12").alias("op"),
+            F.col("o_orderkey").alias("k"),
+            F.date_format(
+                F.try_to_timestamp(F.col("ds")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("s"),
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    out = o3
+    for part in (o3_sum, o3lib, o4, e7, e11, e12):
+        out = out.unionByName(part)
+    return out
+
+
+@register(
+    "x_grouping_sets",
+    oracle="""
+    SELECT 'rollup' AS op, l_returnflag AS g1, l_linestatus AS g2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS v
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority, COUNT(*),
+           CAST(NULL AS DOUBLE)
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'pivot', l_returnflag, ls, CAST(NULL AS BIGINT), v FROM (
+      SELECT l_returnflag, 'O' AS ls,
+             CAST(SUM(CASE WHEN l_linestatus = 'O'
+                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS v
+      FROM lineitem GROUP BY l_returnflag
+      UNION ALL
+      SELECT l_returnflag, 'F',
+             CAST(SUM(CASE WHEN l_linestatus = 'F'
+                  THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+      FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def x_grouping_sets(spark, sf_dir):
+    """OLAP grouping-sets compound (merged r02's x_rollup + x_cube +
+    x_pivot; rows tagged per operator): hierarchical ROLLUP with ANSI
+    NULL subtotal markers, full two-dimension CUBE, and PIVOT exercised
+    through Spark's real ``.pivot()`` then unpivoted via ``stack`` so
+    the three shapes share one (op, g1, g2, n, v) schema."""
+    li = spark.table("lineitem")
+    rollup = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("v"),
+        )
+        .select(
+            F.lit("rollup").alias("op"),
+            F.col("l_returnflag").alias("g1"),
+            F.col("l_linestatus").alias("g2"),
+            "n",
+            "v",
+        )
+    )
+    cube = (
+        spark.table("orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("cube").alias("op"),
+            F.col("o_orderstatus").alias("g1"),
+            F.col("o_orderpriority").alias("g2"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    pivot = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+        .select(
+            F.lit("pivot").alias("op"),
+            F.col("l_returnflag").alias("g1"),
+            F.expr("stack(2, 'O', `O`, 'F', `F`)").alias("g2", "v"),
+        )
+        .select(
+            "op", "g1", "g2", F.lit(None).cast("bigint").alias("n"), "v"
+        )
+    )
+    return rollup.unionByName(cube).unionByName(pivot)
+
+
+@register(
+    "w_windows",
+    oracle="""
+    SELECT 'tumble' AS op, event_type AS k,
+           STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS t,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+    FROM events GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'sess', CAST(user_id AS VARCHAR) || ':' ||
+             CAST(CAST(session_id AS BIGINT) AS VARCHAR),
+           CAST(NULL AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
+    FROM (
+      WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
+                         LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+      SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    ) GROUP BY user_id, session_id
+    """,
+)
+def w_windows(spark, sf_dir):
+    """Event-time windowing compound (merged r02's w_tumbling_window +
+    w_sessionize; rows tagged per operator, schema (op, k, t, n, v)):
+
+    - tumble: tumbling hourly window aggregation (count + exact decimal
+      value sum) over the events table;
+    - sess: sessionization — lag-gap > 30 min opens a session,
+      cumulative sum assigns ids, events counted per session.
+    """
+    ev = spark.table("events")
+    tumble = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "t"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), _dsum("value").alias("v"))
+        .select(
+            F.lit("tumble").alias("op"),
+            F.col("event_type").alias("k"),
+            "t",
+            "n",
+            "v",
+        )
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ts_secs = F.col("ts").cast("timestamp").cast("long")
+    lag_secs = F.lag(ts_secs).over(w)
+    sess = (
+        ev.withColumn(
+            "new_session",
+            F.when(lag_secs.isNull() | (ts_secs - lag_secs > 30 * 60), 1).otherwise(
+                0
+            ),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("sess").alias("op"),
+            F.concat_ws(
+                ":",
+                F.col("user_id").cast("string"),
+                F.col("session_id").cast("string"),
+            ).alias("k"),
+            F.lit(None).cast("string").alias("t"),
+            "n",
+            F.lit(None).cast("double").alias("v"),
+        )
+    )
+    return tumble.unionByName(sess)
+
+
+@register(
+    "q_scalar_aggs",
+    oracle="""
+    SELECT q6.revenue, q14.promo_revenue FROM (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+                      CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24
+    ) q6, (
+      SELECT CAST(
+        100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
+                         (1 - CAST(l_discount AS DECIMAL(18,4)))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END)
+        / SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
+              (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+          AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    ) q14
+    """,
+)
+def q_scalar_aggs(spark, sf_dir):
+    """TPC-H Q6 (conjunctive range predicates all pushed to the scan,
+    single exact-decimal aggregate) and Q14 (conditional revenue ratio
+    over a broadcast join) shapes as one driver entry — both produce a
+    single scalar row, cross-joined into one (revenue, promo_revenue)
+    row (merged r02's q6_revenue_forecast + q14_promo_effect)."""
+    li = spark.table("lineitem")
+    q6 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(_DEC)
+                * F.col("l_discount").cast(_DEC)
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    p = spark.table("part")
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount").cast(_DEC)
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    q14 = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .agg(
+            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
+            .cast("double")
+            .alias("promo_revenue")
+        )
+    )
+    return q6.crossJoin(q14)
+
+
+@register(
+    "q_grouped_counts",
+    oracle="""
+    SELECT 'q4' AS op, o_orderpriority AS k, COUNT(*) AS n_hi,
+           CAST(NULL AS BIGINT) AS n_lo
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'q12', l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_linestatus
+    """,
+)
+def q_grouped_counts(spark, sf_dir):
+    """TPC-H Q4 (EXISTS -> left_semi join + agg) and Q12
+    (conditional-sum buckets over a join) shapes as one driver entry
+    (merged r02's q4_order_priority + q12_shipmode_buckets; rows tagged
+    per shape)."""
+    o = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    l = spark.table("lineitem")
+    q4 = (
+        o.join(
+            l, (l.l_orderkey == o.o_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_hi"))
+        .select(
+            F.lit("q4").alias("op"),
+            F.col("o_orderpriority").alias("k"),
+            "n_hi",
+            F.lit(None).cast("bigint").alias("n_lo"),
+        )
+    )
+    o2, l2 = spark.table("orders"), spark.table("lineitem")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    q12 = (
+        o2.join(l2, o2.o_orderkey == l2.l_orderkey)
+        .filter(F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("n_hi"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("n_lo"),
+        )
+        .select(
+            F.lit("q12").alias("op"),
+            F.col("l_linestatus").alias("k"),
+            "n_hi",
+            "n_lo",
+        )
+    )
+    return q4.unionByName(q12)

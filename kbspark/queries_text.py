@@ -4,66 +4,13 @@ for the reusable implementations these call)."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window as W, functions as F
 
 from kbspark.contract import register
 
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
-
-
-@register(
-    "t_token_count",
-    oracle="""
-    SELECT doc_id,
-           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) AS INT) AS n_tokens,
-           LENGTH(text) AS n_chars_actual
-    FROM documents
-    """,
-)
-def t_token_count(spark, sf_dir):
-    """Whitespace token counting + char length per document."""
-    return spark.table("documents").select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
-        F.length("text").alias("n_chars_actual"),
-    )
-
-
-@register(
-    "t_quality_score",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
-      FROM documents
-    )
-    SELECT doc_id, lang,
-           CAST(LEN(words) AS INT) AS n_tokens,
-           CAST(LEN(LIST_FILTER(words, w -> w IN ('the', 'a'))) AS INT)
-             AS n_stopwords,
-           ROUND(LEN(LIST_FILTER(words, w -> w IN ('the', 'a')))
-                 / GREATEST(LEN(words), 1), 6) AS stopword_ratio,
-           ROUND(LEN(LIST_FILTER(words, w -> LENGTH(w) >= 6))
-                 / GREATEST(LEN(words), 1), 6) AS long_token_ratio
-    FROM toks
-    """,
-)
-def t_quality_score(spark, sf_dir):
-    """Document quality scoring: stopword ratio + long-token ratio
-    (length/punct/stopword heuristics family)."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    stop = F.size(F.filter(words, lambda w: w.isin("the", "a")))
-    longtok = F.size(F.filter(words, lambda w: F.length(w) >= 6))
-    denom = F.greatest(F.size(words), F.lit(1))
-    return spark.table("documents").select(
-        "doc_id",
-        "lang",
-        F.size(words).alias("n_tokens"),
-        stop.alias("n_stopwords"),
-        F.round(stop / denom, 6).alias("stopword_ratio"),
-        F.round(longtok / denom, 6).alias("long_token_ratio"),
-    )
 
 
 _BPE_PATTERN = (
@@ -73,41 +20,63 @@ _BPE_SQL = _BPE_PATTERN.replace("'", "''").replace("\\", "\\\\")
 
 
 @register(
-    "t_bpe_token_count",
+    "t_text_metrics",
     oracle=f"""
-    SELECT doc_id,
+    WITH toks AS (
+      SELECT doc_id, lang, text, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(LEN(words) AS INT) AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
            CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BPE_SQL}')) AS INT)
-             AS n_bpe_tokens
-    FROM documents
+             AS n_bpe_tokens,
+           CAST(LEN(LIST_FILTER(words, w -> w IN ('the', 'a'))) AS INT)
+             AS n_stopwords,
+           ROUND(LEN(LIST_FILTER(words, w -> w IN ('the', 'a')))
+                 / GREATEST(LEN(words), 1), 6) AS stopword_ratio,
+           ROUND(LEN(LIST_FILTER(words, w -> LENGTH(w) >= 6))
+                 / GREATEST(LEN(words), 1), 6) AS long_token_ratio,
+           CASE WHEN LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and')))
+                     > LEN(words) / 20.0
+                THEN 'en_like' ELSE 'other' END AS lang_guess
+    FROM toks
     """,
 )
-def t_bpe_token_count(spark, sf_dir):
-    """BPE-ish tokenization count (GPT-2-style pretokenizer regex,
-    lookahead-free so Java regex and RE2 agree)."""
+def t_text_metrics(spark, sf_dir):
+    """Per-document text-analysis metrics in ONE scan + projection
+    (merged r02's t_token_count / t_quality_score / t_bpe_token_count /
+    t_langid_markers — the driver records at most ~50 entries, so the
+    four per-doc metric families are compounded; every metric stays its
+    own column so a regression in any one breaks the value hash):
+
+    - whitespace token count + char length,
+    - quality scoring (stopword ratio, long-token ratio),
+    - BPE-ish token count (GPT-2-style pretokenizer regex,
+      lookahead-free so Java regex and RE2 agree),
+    - marker-word language-ID heuristic.
+
+    One scan instead of four also cuts suite wall-clock. All JVM-side
+    (split/filter/regexp_count) — no Python in the path."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    stop = F.size(F.filter(words, lambda w: w.isin("the", "a")))
+    longtok = F.size(F.filter(words, lambda w: F.length(w) >= 6))
+    denom = F.greatest(F.size(words), F.lit(1))
+    en = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and")))
     return spark.table("documents").select(
         "doc_id",
+        "lang",
+        F.size(words).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
         F.regexp_count("text", F.lit(_BPE_PATTERN)).cast("int").alias(
             "n_bpe_tokens"
         ),
-    )
-
-
-@register(
-    "t_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
-    FROM documents
-    """,
-)
-def t_fingerprint(spark, sf_dir):
-    """Normalized-content fingerprint (whitespace-collapse + lowercase +
-    md5) — the exact-dedup key."""
-    return spark.table("documents").select(
-        "doc_id",
-        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
-            "fingerprint"
-        ),
+        stop.alias("n_stopwords"),
+        F.round(stop / denom, 6).alias("stopword_ratio"),
+        F.round(longtok / denom, 6).alias("long_token_ratio"),
+        F.when(en > F.size(words) / F.lit(20.0), "en_like")
+        .otherwise("other")
+        .alias("lang_guess"),
     )
 
 
@@ -119,48 +88,31 @@ def t_fingerprint(spark, sf_dir):
              MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
       FROM documents
     )
-    SELECT fingerprint, COUNT(*) AS n_dups, MIN(doc_id) AS keep_doc_id
-    FROM fp GROUP BY fingerprint
+    SELECT doc_id, fingerprint,
+           COUNT(*) OVER (PARTITION BY fingerprint) AS n_dups,
+           MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_doc_id
+    FROM fp
     """,
 )
 def t_exact_dedup(spark, sf_dir):
-    """Exact deduplication: hash-groupBy on the content fingerprint,
-    deterministic survivor = min doc_id."""
+    """Exact deduplication, per-document view (merged r02's
+    t_fingerprint + t_exact_dedup): normalized-content fingerprint
+    (whitespace-collapse + lowercase + md5) per doc_id PLUS the group
+    stats (dup count, deterministic survivor = min doc_id) via one
+    window — verifies both the doc->fingerprint map and the hash-groupBy
+    dedup in a single entry, stronger than either half alone."""
     fp = spark.table("documents").select(
         "doc_id",
         F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
             "fingerprint"
         ),
     )
-    return fp.groupBy("fingerprint").agg(
-        F.count("*").alias("n_dups"), F.min("doc_id").alias("keep_doc_id")
-    )
-
-
-@register(
-    "t_langid_markers",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, lang, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
-      FROM documents
-    )
-    SELECT doc_id, lang,
-           CASE WHEN LEN(LIST_FILTER(words, w -> w IN ('the','a','of','and')))
-                     > LEN(words) / 20.0
-                THEN 'en_like' ELSE 'other' END AS lang_guess
-    FROM toks
-    """,
-)
-def t_langid_markers(spark, sf_dir):
-    """Marker-word language heuristic (n-gram/stopword lang-ID family)."""
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    en = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and")))
-    return spark.table("documents").select(
+    w = W.partitionBy("fingerprint")
+    return fp.select(
         "doc_id",
-        "lang",
-        F.when(en > F.size(words) / F.lit(20.0), "en_like")
-        .otherwise("other")
-        .alias("lang_guess"),
+        "fingerprint",
+        F.count("*").over(w).alias("n_dups"),
+        F.min("doc_id").over(w).alias("keep_doc_id"),
     )
 
 
@@ -178,31 +130,6 @@ _SHINGLES_DUCK = """
             FROM documents)
       WHERE LEN(words) >= 3
 """
-
-
-@register(
-    "t_minhash_signature",
-    oracle=f"""
-    WITH sh AS ({_SHINGLES_DUCK}),
-    exploded AS (
-      SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
-    ),
-    hashed AS (
-      SELECT doc_id, h, MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
-      FROM exploded, (SELECT UNNEST(RANGE(0, 8)) AS h)
-      GROUP BY doc_id, h
-    )
-    SELECT doc_id, CAST(h AS INT) AS band, minhash FROM hashed
-    """,
-)
-def t_minhash_signature(spark, sf_dir):
-    """MinHash signatures over 3-word shingles: 8 hash families realized
-    as md5(family_id || shingle); min per (doc, family). Deterministic and
-    engine-portable (md5 on both sides). Scale path: explode+groupBy is
-    partial-aggregated map-side; no driver-side state."""
-    from kbspark.textops import minhash_signatures
-
-    return minhash_signatures(spark.table("documents"), n_hashes=8)
 
 
 @register(
