@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from kbspark.session import persist_tracked
+
 
 def reachable(
     edges: DataFrame,
@@ -53,7 +55,7 @@ def reachable(
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new = new.localCheckpoint()
         else:
-            new = new.persist()
+            new = persist_tracked(new)
         if new.isEmpty():
             break
         # new is distinct and anti-joined against visited, so the union
@@ -158,7 +160,8 @@ def category_entities(
         .select("page_id", "page_title")
         .join(member_ids, "page_id")
         .filter(~F.col("page_title").startswith(drop_prefix))
-    ).persist()  # feeds four typ slices + three anti-joins
+    )
+    member = persist_tracked(member)  # feeds four typ slices + three anti-joins
 
     def of_type(typ: str) -> DataFrame:
         return member.filter(F.col("typ") == typ).select(

@@ -25,8 +25,14 @@ CONTRACT_ORACLES: dict[str, str] = {}
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from kbspark.session import pin_session_conf
+            from kbspark.session import pin_session_conf, release_tracked
 
+            # the PREVIOUS query's action has finished by the time the
+            # next contract query starts — drop its operator-level
+            # persists so ~50 queries in one session don't accumulate
+            # cached partitions (ADVICE r02); everything is
+            # deterministic, so a late consumer just recomputes
+            release_tracked()
             pin_session_conf(spark)
             _load_views(spark, sf_dir)
             return fn(spark, sf_dir)

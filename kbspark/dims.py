@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 from pyspark.sql import types as T
 
+from kbspark.session import persist_tracked
+
 PER_CLASSES = ["subject", "fictional-character", "fictional-person"]
 LOC_CLASSES = ["geographic-entity", "fictional-location"]
 ORG_CLASSES = [
@@ -128,11 +130,11 @@ def build_entities(
     # each group frame feeds BOTH the main union and its membership-flag
     # join — persist so the per-group union/dedup subplan runs once, not
     # once per consumer (dictionary-sized by definition)
-    per = load_class_group(class_frames, PER_CLASSES, "person", woa).persist()
-    loc = load_class_group(class_frames, LOC_CLASSES, "location", woa).persist()
-    org = load_class_group(
-        class_frames, ORG_CLASSES, "organisation", woa
-    ).persist()
+    per = persist_tracked(load_class_group(class_frames, PER_CLASSES, "person", woa))
+    loc = persist_tracked(load_class_group(class_frames, LOC_CLASSES, "location", woa))
+    org = persist_tracked(
+        load_class_group(class_frames, ORG_CLASSES, "organisation", woa)
+    )
 
     # group rank keeps pandas concat order per/loc/org (entities.py:34)
     per = per.withColumn("_ord", F.col("_ord") + F.lit(0 * 10**15))

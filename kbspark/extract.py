@@ -146,10 +146,15 @@ def extract_link_parts(
     cleaned_text: str,
     entity_types: dict[str, str],
     redirect_targets: dict[str, str],
+    resolver=None,
 ) -> list[tuple[str, str, str]]:
     """Split cleaned text at ``[[...]]`` links into alternating parts
     (ner.py:79-120): plain-text parts carry ``('', 'O')`` metadata, link
     parts carry ``(resolved_page_title, entity_type)``.
+
+    ``resolver`` (optional): ``title -> (resolved_title, type)`` override
+    for the dictionary lookup — the frame-dim path passes a per-page map
+    resolved by relational joins instead of broadcast dicts.
 
     Returns a list of ``(surface_text, page_title, entity_type)``.
     """
@@ -162,7 +167,10 @@ def extract_link_parts(
         # (ner.py:92); strip a '#anchor' suffix (ner.py:95)
         title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
         title = _ANCHOR.match(title)[2]
-        title, etype = resolve_title(title, entity_types, redirect_targets)
+        if resolver is not None:
+            title, etype = resolver(title)
+        else:
+            title, etype = resolve_title(title, entity_types, redirect_targets)
         parts.append((m[2], title, etype))
     parts.append((cleaned_text[pos:], "", "O"))
     return parts
@@ -368,11 +376,13 @@ def annotated_tokenization(
     sentence_splitter,
     entity_types: dict[str, str],
     redirect_targets: dict[str, str],
+    resolver=None,
 ) -> list[tuple[int, int, str, str, str]]:
     """Full E1→E5 chain for one document; rows are
     ``(sentence, token, word, page_title, tag)`` (ner.py:144-167,
     including the sentinel-offset realignment at :154-165)."""
-    parts = extract_link_parts(clean_text(raw_text), entity_types, redirect_targets)
+    parts = extract_link_parts(clean_text(raw_text), entity_types,
+                               redirect_targets, resolver=resolver)
     if not parts:
         return []
     tokens, meta = tokenize_parts(tokenizer, parts)
@@ -553,21 +563,13 @@ def mention_stage_raw(pages_df, spark, text_col: str = "text"):
     return mention_stage(pages_df, spark, {}, {}, text_col=text_col)
 
 
-def resolve_mentions_frames(raw_mentions, entity_dim, redirect_dim,
-                            broadcast_dims: bool = True):
-    """J5 as a relational plan — the 100-TB path for corpus-scaling
-    dictionaries (no driver collect, no per-worker Python dict): three
-    dim joins encode exactly ``resolve_title``'s precedence
+def _with_resolved_frames(df, title_col, entity_dim, redirect_dim,
+                          broadcast_dims: bool = True):
+    """Append ``(_resolved_title, _resolved_type)`` to ``df`` via three
+    dim joins encoding exactly ``resolve_title``'s precedence
     (ner.py:100-114 — entity dict first, then one redirect hop, then the
-    entity dict on the hop target).
-
-    ``raw_mentions``: output of ``mention_stage_raw`` (page_title = raw
-    link target). ``entity_dim``: (page_title, TYPE[, ...]);
-    ``redirect_dim``: (alias, page_title). With ``broadcast_dims`` the
-    dims ride broadcast joins (dictionary-sized); set False to let the
-    planner/AQE pick a shuffle join for dims beyond broadcast budgets —
-    either way the semantics are identical and the fact side never
-    collects."""
+    entity dict on the hop target). Shared by the mention path and the
+    annotate path; nothing collects to the driver."""
     from pyspark.sql import functions as F
 
     ent1 = entity_dim.select(
@@ -582,27 +584,151 @@ def resolve_mentions_frames(raw_mentions, entity_dim, redirect_dim,
     if broadcast_dims:
         ent1, red, ent2 = F.broadcast(ent1), F.broadcast(red), F.broadcast(ent2)
     joined = (
-        raw_mentions.join(ent1, raw_mentions["page_title"] == F.col("_t1"), "left")
-        .join(red, raw_mentions["page_title"] == F.col("_ra"), "left")
+        df.join(ent1, df[title_col] == F.col("_t1"), "left")
+        .join(red, df[title_col] == F.col("_ra"), "left")
         .join(ent2, F.col("_rt") == F.col("_t2"), "left")
     )
     resolved_title = (
-        F.when(F.col("_ty1").isNotNull(), F.col("page_title"))
+        F.when(F.col("_ty1").isNotNull(), F.col(title_col))
         .when(F.col("_rt").isNotNull(), F.col("_rt"))
-        .otherwise(F.col("page_title"))
+        .otherwise(F.col(title_col))
     )
     resolved_type = (
         F.when(F.col("_ty1").isNotNull(), F.col("_ty1"))
         .when(F.col("_rt").isNotNull(), F.coalesce(F.col("_ty2"), F.lit("O")))
         .otherwise(F.lit("O"))
     )
-    return joined.select(
+    return joined.withColumn("_resolved_title", resolved_title).withColumn(
+        "_resolved_type", resolved_type
+    )
+
+
+def resolve_mentions_frames(raw_mentions, entity_dim, redirect_dim,
+                            broadcast_dims: bool = True):
+    """J5 as a relational plan — the 100-TB path for corpus-scaling
+    dictionaries (no driver collect, no per-worker Python dict).
+
+    ``raw_mentions``: output of ``mention_stage_raw`` (page_title = raw
+    link target). ``entity_dim``: (page_title, TYPE[, ...]);
+    ``redirect_dim``: (alias, page_title). With ``broadcast_dims`` the
+    dims ride broadcast joins (dictionary-sized); set False to let the
+    planner/AQE pick a shuffle join for dims beyond broadcast budgets —
+    either way the semantics are identical and the fact side never
+    collects."""
+    from pyspark.sql import functions as F
+
+    return _with_resolved_frames(
+        raw_mentions, "page_title", entity_dim, redirect_dim, broadcast_dims
+    ).select(
         "url",
         "mention_pos",
         "surface",
-        resolved_title.alias("page_title"),
-        resolved_type.alias("entity_type"),
+        F.col("_resolved_title").alias("page_title"),
+        F.col("_resolved_type").alias("entity_type"),
     )
+
+
+LINKMAP_SCHEMA = (
+    "url string, _linkmap map<string, struct<title: string, type: string>>"
+)
+
+
+def page_link_maps(pages_df, spark, entity_dim, redirect_dim,
+                   text_col: str = "text", broadcast_dims: bool = True):
+    """Per-page resolution maps for the frame-dim annotate path: the
+    DISTINCT raw link targets of every page are resolved by relational
+    joins (``_with_resolved_frames``), then folded back into one small
+    ``map<target, (title, type)>`` per page. Shuffle volume is bounded
+    by the number of distinct (page, target) pairs — links per page are
+    O(100), so the per-page map is tiny regardless of corpus size and
+    the dictionary itself never reaches the driver or the workers as a
+    whole object."""
+    from pyspark.sql import functions as F
+
+    targets = (
+        mention_stage_raw(pages_df, spark, text_col=text_col)
+        .select("url", F.col("page_title").alias("_target"))
+        .distinct()
+    )
+    resolved = _with_resolved_frames(
+        targets, "_target", entity_dim, redirect_dim, broadcast_dims
+    )
+    return resolved.groupBy("url").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("_target"),
+                    F.struct(
+                        F.col("_resolved_title").alias("title"),
+                        F.col("_resolved_type").alias("type"),
+                    ),
+                )
+            )
+        ).alias("_linkmap")
+    )
+
+
+def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
+                          text_col: str = "text", title_col: str = "url",
+                          lang_col: str | None = None,
+                          tokenizer_factory=None,
+                          broadcast_dims: bool = True):
+    """``annotate_stage`` for DataFrame dims (the 100-TB path of the
+    tagged/EL/KB pipelines — VERDICT r02 #2): instead of shipping the
+    whole dictionary to every worker, each page gets a per-page
+    resolution map from ``page_link_maps`` joined on, and the in-batch
+    resolver reads that map. Output is value-identical to the dict path
+    (asserted in tests/test_dims_frames.py)."""
+
+    maps = page_link_maps(
+        pages_df, spark, entity_dim, redirect_dim,
+        text_col=text_col, broadcast_dims=broadcast_dims,
+    )
+    cols = ["url"]
+    if title_col != "url":
+        cols.append(title_col)
+    cols.append(text_col)
+    if lang_col:
+        cols.append(lang_col)
+    enriched = pages_df.select(*cols).join(maps, "url", "left")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            langs = pdf[lang_col] if lang_col else ["und"] * len(pdf)
+            out = {"url": [], "page_title": [], "text": [], "tags": [],
+                   "link_titles": []}
+            for url, title, raw, lang, linkmap in zip(
+                pdf["url"], pdf[title_col], pdf[text_col], langs,
+                pdf["_linkmap"],
+            ):
+                # Arrow map columns arrive as sequences of (key, value)
+                # pairs; values are (title, type) structs
+                if linkmap is None:
+                    lm = {}
+                elif isinstance(linkmap, dict):
+                    lm = linkmap
+                else:
+                    lm = dict(linkmap)
+
+                def resolver(t, _lm=lm):
+                    hit = _lm.get(t)
+                    if hit is None:
+                        return t, "O"
+                    return hit["title"], hit["type"]
+
+                tokenizer, splitter = _worker_nlp(lang, tokenizer_factory)
+                rows = annotated_tokenization(
+                    raw, tokenizer, splitter, {}, {}, resolver=resolver
+                )
+                text, tags, link_titles = pack_page(rows)
+                out["url"].append(url)
+                out["page_title"].append(title)
+                out["text"].append(text)
+                out["tags"].append(tags)
+                out["link_titles"].append(link_titles)
+            yield pd.DataFrame(out)
+
+    return enriched.mapInPandas(run, schema=TAGGED_SCHEMA)
 
 
 def annotate_stage(pages_df, spark, entity_types: dict, redirect_targets: dict,

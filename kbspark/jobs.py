@@ -28,11 +28,12 @@ from kbspark.corpus import (
 )
 from kbspark.extract import (
     annotate_stage,
+    annotate_stage_frames,
     mention_stage,
     mention_stage_raw,
     resolve_mentions_frames,
 )
-from kbspark.session import pin_session_conf
+from kbspark.session import persist_tracked, pin_session_conf
 from kbspark.triples import build_triples, build_triples_from_frames
 
 
@@ -63,34 +64,70 @@ def flagship_triples(spark: SparkSession, sf_dir: str,
 #: per-(session, sf_dir) materialized tagged table — the reference's own
 #: dataflow: `tagged` is written ONCE (ner.py:267-288) and every consumer
 #: (stats, EL) reads the materialization instead of re-running extraction.
-_TAGGED_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Bounded (ADVICE r02): only the most recent entries stay pinned; an
+#: evicted table is unpersisted (recompute-safe — everything upstream is
+#: deterministic).
+_TAGGED_CACHE: dict[tuple, DataFrame] = {}
+_TAGGED_CACHE_MAX = 2
+
+
+def _tagged_cache_put(key: tuple, tagged: DataFrame) -> None:
+    _TAGGED_CACHE[key] = tagged
+    while len(_TAGGED_CACHE) > _TAGGED_CACHE_MAX:
+        old_key = next(iter(_TAGGED_CACHE))
+        old = _TAGGED_CACHE.pop(old_key)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def tagged_table(spark: SparkSession, sf_dir: str,
-                 use_cache: bool = True) -> DataFrame:
+                 use_cache: bool = True,
+                 dim_collect_cap: int | None = None) -> DataFrame:
     """documents → pages → per-sentence BIO-tagged table (the reference's
     `tagged` table with typed nested arrays, ner.py:196-197), persisted
-    once per session like the reference's materialized SQLite table."""
+    once per session like the reference's materialized SQLite table.
+
+    Dim strategy is size-gated like the flagship (VERDICT r02 #2): a
+    dictionary-sized vocabulary annotates with broadcast dicts; above the
+    cap nothing is collected and each page resolves its links through a
+    per-page map built by relational joins (``annotate_stage_frames``)."""
     pin_session_conf(spark)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, dim_collect_cap)
     if use_cache and key in _TAGGED_CACHE:
         return _TAGGED_CACHE[key]
     pages = pages_from_documents(spark, sf_dir)
-    entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
-    tagged = annotate_stage(pages, spark, entity_types, redirect_targets)
+    kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
+    dims = try_dims_from_documents(spark, sf_dir, **kw)
+    if dims is None:
+        entity_dim, redirect_dim = dim_frames_from_documents(spark, sf_dir)
+        tagged = annotate_stage_frames(
+            pages, spark, entity_dim, redirect_dim, broadcast_dims=False
+        )
+    else:
+        entity_types, redirect_targets = dims
+        tagged = annotate_stage(pages, spark, entity_types, redirect_targets)
     if use_cache:
         tagged = tagged.persist()
-        _TAGGED_CACHE[key] = tagged
+        _tagged_cache_put(key, tagged)
     return tagged
 
 
-def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
+def entity_linking_job(spark: SparkSession, sf_dir: str,
+                       dim_collect_cap: int | None = None) -> DataFrame:
     """Full native EL pipeline (the reference's batchel-wp trace, §3.3,
     minus the HTTP boundaries): tagged table → mention spans (E9) →
     alias dictionary (titles + redirects + corpus-mined anchor texts,
-    E8) → scored + ranked candidates with sentinel rows (E10)."""
+    E8) → scored + ranked candidates with sentinel rows (E10).
+
+    Size-gated dims (VERDICT r02 #2): under the cap the alias dictionary
+    derives from collected dicts (broadcast-friendly); above it both the
+    tagged table and the alias frames come from DataFrame dims — no
+    driver collect, no forced broadcasts, AQE picks the join strategies."""
     from pyspark.sql import functions as F
 
+    from kbspark.corpus import try_dims_from_documents as _try_dims
     from kbspark.linking import (
         entity_context_profiles,
         link_entities,
@@ -100,34 +137,50 @@ def entity_linking_job(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kbspark.triples import entity_dim_df
 
     pin_session_conf(spark)
-    entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
+    kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
+    dims = _try_dims(spark, sf_dir, **kw)
 
-    tagged = tagged_table(spark, sf_dir)
+    tagged = tagged_table(spark, sf_dir, dim_collect_cap=dim_collect_cap)
     # one full-corpus extraction pass: spans feed BOTH candidate mining
     # (surface->gt pairs) and linking — no second mention_stage scan
-    spans = mention_spans(tagged).persist()
+    spans = persist_tracked(mention_spans(tagged))
 
-    dim = entity_dim_df(spark, entity_types)
+    if dims is None:
+        # frame path: dims are themselves big data
+        dim, redirect_dim = dim_frames_from_documents(spark, sf_dir)
+        red = redirect_dim.join(
+            dim.select("page_title", "QID", "TYPE"), "page_title"
+        ).select(
+            "alias", "page_title", "QID", "TYPE", F.lit(0.0).alias("proba")
+        )
+        dim_hint = "auto"
+    else:
+        entity_types, redirect_targets = dims
+        dim = entity_dim_df(spark, entity_types)
+        import pandas as pd
+
+        red_pdf = pd.DataFrame(
+            {
+                "alias": list(redirect_targets.keys()),
+                "page_title": list(redirect_targets.values()),
+            }
+        )
+        red = spark.createDataFrame(red_pdf).join(
+            dim.select("page_title", "QID", "TYPE"), "page_title"
+        ).select(
+            "alias", "page_title", "QID", "TYPE", F.lit(0.0).alias("proba")
+        )
+        dim_hint = "broadcast"
     # mined dictionary is corpus-scaling: cap targets per surface and let
     # the planner pick broadcast-vs-shuffle for the EL join (VERDICT #6)
     mined = mine_anchor_aliases(
-        spans, dim, target_col="gt", max_targets_per_surface=8
+        spans, dim, target_col="gt", max_targets_per_surface=8,
+        dim_hint=dim_hint,
     )
     own = dim.select(
         F.col("page_title").alias("alias"), "page_title", "QID", "TYPE",
         F.lit(0.0).alias("proba"),
     )
-    import pandas as pd
-
-    red_pdf = pd.DataFrame(
-        {
-            "alias": list(redirect_targets.keys()),
-            "page_title": list(redirect_targets.values()),
-        }
-    )
-    red = spark.createDataFrame(red_pdf).join(
-        dim.select("page_title", "QID", "TYPE"), "page_title"
-    ).select("alias", "page_title", "QID", "TYPE", F.lit(0.0).alias("proba"))
     aliases = (
         own.unionByName(red)
         .unionByName(mined)

@@ -24,10 +24,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from kbspark.apriori import attach_probs
 from kbspark.catalog import Catalog
-from kbspark.corpus import dims_from_documents, pages_from_documents
-from kbspark.extract import mention_stage
-from kbspark.lineage import run_stage, stage_metrics
+from kbspark.corpus import (
+    dim_frames_from_documents,
+    pages_from_documents,
+    try_dims_from_documents,
+)
+from kbspark.extract import (
+    mention_stage,
+    mention_stage_raw,
+    resolve_mentions_frames,
+)
 from kbspark.triples import entity_dim_df
+from kbspark.lineage import run_stage, stage_metrics
 
 
 def build_knowledge_base(
@@ -36,17 +44,30 @@ def build_knowledge_base(
     warehouse: str,
     n_buckets: int = 16,
     fail_after_commits: int | None = None,
+    dim_collect_cap: int | None = None,
 ) -> dict:
     """End-to-end KB build into ``warehouse``; returns metrics summary.
 
     Idempotent: a second call skips completed triple buckets (resume) and
     refreshes the dimension snapshots deterministically.
+
+    Dim strategy is size-gated like the flagship (VERDICT r02 #2): a
+    dictionary-sized vocabulary runs the broadcast-dict extract; above
+    the cap nothing collects and every dictionary consumer (mention
+    resolution, a-priori join, aliases, redirect triples) switches to
+    DataFrame dims with planner-chosen join strategies.
     """
     cat = Catalog(spark, warehouse)
-    entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
+    kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
+    dims = try_dims_from_documents(spark, sf_dir, **kw)
     pages = pages_from_documents(spark, sf_dir)
 
-    dim = entity_dim_df(spark, entity_types)
+    if dims is None:
+        entity_dim, redirect_dim = dim_frames_from_documents(spark, sf_dir)
+        dim = entity_dim.select("page_title", "TYPE", "QID")
+    else:
+        entity_types, redirect_targets = dims
+        dim = entity_dim_df(spark, entity_types)
 
     # --- triples (big, resumable) ---------------------------------------
     # mention triples run per bucket (aggregation keys are url-local, so
@@ -55,8 +76,18 @@ def build_knowledge_base(
     from kbspark.triples import mention_triples
 
     def mention_transform(pages_part: DataFrame) -> DataFrame:
-        mentions = mention_stage(pages_part, spark, entity_types, redirect_targets)
-        return mention_triples(mentions, dim).select(
+        if dims is None:
+            raw = mention_stage_raw(pages_part, spark)
+            mentions = resolve_mentions_frames(
+                raw, entity_dim, redirect_dim, broadcast_dims=False
+            )
+            mt = mention_triples(mentions, dim, broadcast_dim=False)
+        else:
+            mentions = mention_stage(
+                pages_part, spark, entity_types, redirect_targets
+            )
+            mt = mention_triples(mentions, dim)
+        return mt.select(
             "subj", "pred", "obj", "n_occurrences", "src_url",
             F.col("subj").alias("url"),  # lineage bucket key
         )
@@ -81,9 +112,12 @@ def build_knowledge_base(
     # a-priori proba per entity from the materialized mention triples
     # (A2), weighted by occurrence counts — the reference counts link
     # occurrences, not distinct pages (entities.py:330)
+    qid_map = dim.select("QID", "page_title")
+    if dims is not None:
+        qid_map = F.broadcast(qid_map)  # dictionary-sized; frames -> AQE
     ent_with_proba = attach_probs(
         dim,
-        links.join(F.broadcast(dim.select("QID", "page_title")), "QID").select(
+        links.join(qid_map, "QID").select(
             F.col("page_title").alias("target"), "n_occurrences"
         ),
         weight_col="n_occurrences",
@@ -94,19 +128,23 @@ def build_knowledge_base(
         meta={"stage": "entities"},
     )
 
-    import pandas as pd
-
-    red_pdf = pd.DataFrame(
-        {
-            "alias": list(redirect_targets.keys()),
-            "page_title": list(redirect_targets.values()),
-        }
-    )
     own = dim.select(
         F.col("page_title").alias("alias"), "page_title", "QID", "TYPE"
     )
+    if dims is None:
+        red_frame = redirect_dim
+    else:
+        import pandas as pd
+
+        red_pdf = pd.DataFrame(
+            {
+                "alias": list(redirect_targets.keys()),
+                "page_title": list(redirect_targets.values()),
+            }
+        )
+        red_frame = spark.createDataFrame(red_pdf)
     red = (
-        spark.createDataFrame(red_pdf)
+        red_frame
         .join(dim.select("page_title", "QID", "TYPE"), "page_title")
         .select("alias", "page_title", "QID", "TYPE")
     )
@@ -121,12 +159,18 @@ def build_knowledge_base(
     )
     cat.overwrite("sitelinks", sitelinks, meta={"stage": "sitelinks"})
 
+    if dims is None:
+        from kbspark.triples import redirect_triples_frame
+
+        red_triples = redirect_triples_frame(redirect_dim)
+    else:
+        red_triples = redirect_triples(spark, redirect_targets)
     cat.overwrite(
         "triples",
         cat.read("triples_mentions")
         .select("subj", "pred", "obj", "n_occurrences", "src_url")
         .unionByName(entity_triples(dim))
-        .unionByName(redirect_triples(spark, redirect_targets)),
+        .unionByName(red_triples),
         meta={"stage": "triples"},
     )
 

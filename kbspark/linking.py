@@ -88,7 +88,8 @@ def mention_spans(tagged: DataFrame) -> DataFrame:
 def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
                         surface_col: str = "surface",
                         target_col: str = "page_title",
-                        max_targets_per_surface: int | None = None) -> DataFrame:
+                        max_targets_per_surface: int | None = None,
+                        dim_hint: str = "broadcast") -> DataFrame:
     """Anchor-text dictionary (E8): corpus-observed (surface -> target)
     link pairs with P(target | surface) — the Wikipedia-anchor analog of
     the reference's a-priori link statistics (its `links` table,
@@ -107,7 +108,12 @@ def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
     count, title tiebreak) bounds it at k * n_distinct_surfaces so the
     EL join side stays broadcastable far longer — and beyond that,
     ``link_entities(aliases_hint='auto')`` shuffle-joins instead of
-    OOMing executors."""
+    OOMing executors.
+
+    ``dim_hint``: 'broadcast' forces a broadcast of ``entity_dim``
+    (dictionary-sized dims); 'auto' leaves the join strategy to the
+    planner/AQE — required when the dim itself is corpus-scaling (the
+    frame-dim pipelines, VERDICT r02 #2)."""
     cols = mentions.columns
     base = mentions
     if "entity_type" in cols:
@@ -134,7 +140,8 @@ def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
             .filter(F.col("_rk") <= max_targets_per_surface)
             .drop("_rk")
         )
-    return scored.join(F.broadcast(entity_dim), "page_title").select(
+    dim = F.broadcast(entity_dim) if dim_hint == "broadcast" else entity_dim
+    return scored.join(dim, "page_title").select(
         "alias", "page_title", "QID", "TYPE", "proba"
     )
 

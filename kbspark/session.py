@@ -56,6 +56,38 @@ def get_spark(
     return spark
 
 
+#: DataFrames persisted inside operators (shingle/block/member tables,
+#: EL spans). A contract/driver session runs ~50 queries in one process;
+#: without release the cached partitions of every query accumulate for
+#: the session lifetime (ADVICE r02). Operators register their persists
+#: here; ``release_tracked`` drops them all — called between contract
+#: queries (kbspark.contract.register) once the previous query's action
+#: has finished. Unpersist is an optimization-only change: every tracked
+#: computation is deterministic, so late consumers just recompute.
+_TRACKED_PERSISTS: list = []
+
+
+def persist_tracked(df):
+    """``df.persist()`` + registration for between-queries release."""
+    out = df.persist()
+    _TRACKED_PERSISTS.append(out)
+    return out
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked DataFrame; returns how many were
+    released."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already gone — nothing to release
+            pass
+    return n
+
+
 def pin_session_conf(spark: SparkSession) -> SparkSession:
     """Pin runtime confs that correctness depends on, on a session we did
     not create (the driver hands us one in ``__spark_entry__.entry``).

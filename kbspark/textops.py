@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from kbspark.session import persist_tracked
+
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
@@ -80,7 +82,7 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
     rows_per_band = n_hashes // n_bands
     # shingles feed both the signature build and the exact-Jaccard
     # verification — materialize once
-    sh = shingles(docs, n=shingle_n).persist()
+    sh = persist_tracked(shingles(docs, n=shingle_n))
     sig = _minhash_from_shingles(sh, n_hashes=n_hashes)
     bands = (
         sig.withColumn("band_id", (F.col("band") / rows_per_band).cast("int"))
@@ -153,7 +155,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     pairs far below any useful threshold. Dropping them makes the shared
     count a lower bound (recall<1 on affected pairs), never a false
     positive above it."""
-    sh = shingles(docs, id_col=id_col, text_col=text_col, n=n).persist()
+    sh = persist_tracked(shingles(docs, id_col=id_col, text_col=text_col, n=n))
     sizes_a = sh.select(
         F.col("doc_id").alias("doc_a"), F.size("shingles").alias("_sza")
     )
@@ -322,7 +324,8 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         "doc_id",
         "blocks",
         F.posexplode("blocks").alias("block_id", "block_key"),
-    ).persist()
+    )
+    blocks = persist_tracked(blocks)
     if max_bucket is not None:
         wcnt = W.partitionBy("block_id", "block_key")
         blocks = blocks.withColumn("_bn", F.count("*").over(wcnt)).filter(
