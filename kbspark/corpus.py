@@ -233,6 +233,29 @@ _DIM_CACHE: dict[
 ] = {}
 
 
+#: per-(session, sf_dir) persisted whitespace-token table shared by the
+#: dedup families (VERDICT r02 #5: t_lsh and t_simhash each re-tokenized
+#: the corpus). Deliberately NOT release_tracked — it is a cross-query
+#: memo like jobs._TAGGED_CACHE, bounded to the most recent entry.
+_WORDS_CACHE: dict[tuple, object] = {}
+
+
+def words_from_documents(spark, sf_dir: str):
+    """(doc_id, _w) token table over documents.parquet, tokenized once
+    per session and persisted (kbspark.textops.words_table shape)."""
+    from kbspark.textops import words_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _WORDS_CACHE:
+        return _WORDS_CACHE[key]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wdf = words_table(docs).persist()
+    while _WORDS_CACHE:
+        _WORDS_CACHE.popitem()[1].unpersist()
+    _WORDS_CACHE[key] = wdf
+    return wdf
+
+
 def _entity_type_of(title: str) -> str:
     """Stable TYPE hash used by both the dict and DataFrame dim paths
     (and inverted by the kg_* DuckDB oracles)."""

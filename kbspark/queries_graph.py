@@ -504,10 +504,12 @@ def t_simhash_near_dups(spark, sf_dir):
     verification breaks the hash match. At web scale the engine runs
     n_blocks=4 (16-bit keys) with ``max_bucket`` bounding boilerplate
     buckets (kbspark/textops.py)."""
+    from kbspark.corpus import words_from_documents
     from kbspark.textops import simhash_near_dups
 
     return simhash_near_dups(
-        spark.table("documents"), max_hamming=7, n_blocks=8
+        spark.table("documents"), max_hamming=7, n_blocks=8,
+        words=words_from_documents(spark, sf_dir),
     )
 
 
@@ -636,7 +638,7 @@ _IVF_D2 = (
     "+ LIST_DOT_PRODUCT({cb}.c, {cb}.c)"
 )
 
-_IVF_ORACLE = f"""
+_IVF_CTES = f"""
     WITH emb AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ),
@@ -683,7 +685,10 @@ _IVF_ORACLE = f"""
       SELECT e.vec_id, e.emb, s.cluster FROM emb e, c2 s
       QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
         ORDER BY {_IVF_D2.format(cb="s")} ASC, s.cluster ASC) = 1
-    ),
+    )
+"""
+
+_IVF_ORACLE = _IVF_CTES + f""",
     probe AS (
       SELECT e.vec_id AS query_id, e.emb AS qe, s.cluster
       FROM emb e, c2 s WHERE e.vec_id < 10
@@ -1093,3 +1098,104 @@ def s_knn_lsh(spark, sf_dir):
     return knn_lsh(
         emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4, n_tables=6, dim=64
     )
+
+
+_IVF_RECALL_ORACLE = _IVF_CTES + f""",
+    probe AS (
+      SELECT e.vec_id AS query_id, e.emb AS qe, s.cluster,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {_IVF_D2.format(cb="s")} ASC, s.cluster ASC) AS prank
+      FROM emb e, c2 s WHERE e.vec_id < 10
+      QUALIFY prank <= 3
+    ),
+    scored AS (
+      SELECT p.query_id, p.prank, a.vec_id AS neighbor_id,
+             LIST_DOT_PRODUCT(p.qe, a.emb) /
+             (SQRT(LIST_DOT_PRODUCT(p.qe, p.qe)) *
+              SQRT(LIST_DOT_PRODUCT(a.emb, a.emb))) AS cos
+      FROM probe p JOIN assign a USING (cluster)
+      WHERE a.vec_id <> p.query_id
+    ),
+    nps AS (SELECT UNNEST([1, 2, 3]) AS n_probes),
+    cand AS (
+      SELECT n.n_probes, s.query_id, s.neighbor_id, MIN(s.cos) AS cos
+      FROM nps n JOIN scored s ON s.prank <= n.n_probes
+      GROUP BY 1, 2, 3
+    ),
+    ivf_top AS (
+      SELECT n_probes, query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probes, query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS rn FROM cand
+      ) WHERE rn <= 5
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 LIST_DOT_PRODUCT(q.emb, e.emb) /
+                 (SQRT(LIST_DOT_PRODUCT(q.emb, q.emb)) *
+                  SQRT(LIST_DOT_PRODUCT(e.emb, e.emb))) DESC,
+                 e.vec_id ASC) AS rn
+        FROM (SELECT * FROM emb WHERE vec_id < 10) q
+        JOIN emb e ON e.vec_id <> q.vec_id
+      ) WHERE rn <= 5
+    ),
+    nq AS (SELECT COUNT(*) AS n FROM emb WHERE vec_id < 10)
+    SELECT i.n_probes,
+           COUNT(*) AS n_retrieved,
+           COUNT(b.query_id) AS n_hits,
+           ROUND(COUNT(b.query_id) / (5.0 * MIN(nq.n)), 6) AS recall
+    FROM ivf_top i
+    LEFT JOIN bf b
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    CROSS JOIN nq
+    GROUP BY 1
+"""
+
+
+@register("s_ann_ivf_recall", oracle=_IVF_RECALL_ORACLE)
+def s_ann_ivf_recall(spark, sf_dir):
+    """IVF multi-probe recall fusion (VERDICT r02 stretch): the SAME
+    trained codebook probed at 1, 2 and 3 cells, each re-ranked exactly
+    and measured as recall@5 against the brute-force ground truth —
+    the ANN quality/row-budget tradeoff as a driver-verified table
+    (n_probes, n_retrieved, n_hits, recall). The oracle replays the
+    whole chain in SQL (Lloyd codebook, probe ranking, per-probe-count
+    top-5, brute-force top-5, recall) so both the candidate sets AND the
+    recall arithmetic are hash-checked. Monotonicity (recall rises with
+    probes) is asserted in pytest; at web scale n_probes is the knob
+    trading shuffle volume for recall — this entry is the measured
+    curve."""
+    from kbspark.session import persist_tracked
+    from kbspark.simsearch import knn_bruteforce, knn_ivf, train_ivf_centroids
+
+    emb = spark.table("embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    n_queries = q.count()
+    centroids = train_ivf_centroids(emb)
+    bf = persist_tracked(
+        knn_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
+    )
+    out = None
+    for p in (1, 2, 3):
+        ivf = knn_ivf(q, emb, k=5, n_probes=p, centroids=centroids).select(
+            "query_id", "neighbor_id"
+        )
+        stats = (
+            ivf.agg(F.count("*").alias("n_retrieved"))
+            .crossJoin(
+                ivf.join(bf, ["query_id", "neighbor_id"], "left_semi").agg(
+                    F.count("*").alias("n_hits")
+                )
+            )
+            .select(
+                F.lit(p).alias("n_probes"),
+                "n_retrieved",
+                "n_hits",
+                F.round(
+                    F.col("n_hits") / F.lit(5.0 * n_queries), 6
+                ).alias("recall"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out

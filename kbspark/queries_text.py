@@ -169,10 +169,12 @@ def t_lsh_near_dup_pairs(spark, sf_dir):
     2 bands of 4, bucket-join on band key (candidate pairs only — never
     the O(n^2) cross join), then verify candidates with exact shingle
     Jaccard >= 0.5."""
+    from kbspark.corpus import words_from_documents
     from kbspark.textops import lsh_near_dup_pairs
 
     return lsh_near_dup_pairs(
-        spark.table("documents"), n_hashes=8, n_bands=2, threshold=0.5
+        spark.table("documents"), n_hashes=8, n_bands=2, threshold=0.5,
+        words=words_from_documents(spark, sf_dir),
     )
 
 

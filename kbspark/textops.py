@@ -21,20 +21,33 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from kbspark.session import persist_tracked
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-             n: int = 3) -> DataFrame:
-    """(id, shingles array) — distinct n-word shingles per document.
-    Documents with fewer than n words are dropped (no shingles)."""
+def words_table(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, _w array) — the whitespace token array every dedup
+    family derives from. Factoring it out lets a session tokenize the
+    corpus ONCE and feed both the shingle families (LSH / n-gram
+    Jaccard) and SimHash (VERDICT r02 #5); see
+    ``corpus.words_from_documents`` for the per-session memo."""
     words = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+
+
+def shingles_from_words(wdf: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles array) from a ``words_table`` frame."""
     w = F.col("_w")
     idx = F.sequence(F.lit(0), F.size(w) - n)
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(w, i + 1, n), " "))
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
-        .filter(F.size("_w") >= n)
-        .select("doc_id", sh.alias("shingles"))
+    return wdf.filter(F.size("_w") >= n).select("doc_id", sh.alias("shingles"))
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """(id, shingles array) — distinct n-word shingles per document.
+    Documents with fewer than n words are dropped (no shingles)."""
+    return shingles_from_words(
+        words_table(docs, id_col=id_col, text_col=text_col), n=n
     )
 
 
@@ -69,7 +82,8 @@ def _minhash_from_shingles(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
 
 def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
                        threshold: float = 0.5, shingle_n: int = 3,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       words: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
     threshold). Bands of n_hashes/n_bands values form bucket keys; docs
     sharing any bucket become candidates; candidates are verified with
@@ -78,11 +92,16 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
     ``max_bucket`` (scale knob): drop LSH buckets larger than this before
     the self-join — at web scale a boilerplate bucket with 10^6 members
     would otherwise create 10^12 candidate pairs.
+
+    ``words``: optional pre-tokenized (doc_id, _w) frame (e.g. the
+    session-shared ``corpus.words_from_documents``) so sibling dedup
+    families don't re-tokenize the corpus.
     """
     rows_per_band = n_hashes // n_bands
     # shingles feed both the signature build and the exact-Jaccard
     # verification — materialize once
-    sh = persist_tracked(shingles(docs, n=shingle_n))
+    wdf = words if words is not None else words_table(docs)
+    sh = persist_tracked(shingles_from_words(wdf, n=shingle_n))
     sig = _minhash_from_shingles(sh, n_hashes=n_hashes)
     bands = (
         sig.withColumn("band_id", (F.col("band") / rows_per_band).cast("int"))
@@ -232,7 +251,8 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 3, window: int = 4,
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
+              text_col: str = "text",
+              words: DataFrame | None = None) -> DataFrame:
     """64-bit SimHash per document, represented as a 64-char '0'/'1'
     string. The 64 hash bits come from the md5 hex digest of the token
     (bit b = bit (b%4) of hex nibble b//4) — md5 like every other textops
@@ -240,8 +260,10 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     DuckDB oracle (VERDICT r01 #2). Bit b of md5(token) votes ±count;
     signature bit = sign of the vote sum. Explode to (doc, bit, vote)
     rows → two hash aggs; both partial-aggregate map-side."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+    wdf = words if words is not None else words_table(
+        docs, id_col=id_col, text_col=text_col
+    )
+    tok = wdf.select("doc_id", F.explode("_w").alias("w"))
     # collapse repeated tokens first: the 64-lane explode then runs on
     # (doc, DISTINCT token) rows with count weights — ~10x fewer rows on
     # natural text, identical vote sums
@@ -286,7 +308,8 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       n_blocks: int = 4,
-                      max_bucket: int | None = None) -> DataFrame:
+                      max_bucket: int | None = None,
+                      words: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup pairs: block on ``n_blocks`` equal signature
     sub-words (a pair within Hamming distance < n_blocks shares at least
     one block — pigeonhole, so the result is EXACT for
@@ -309,7 +332,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     if 64 % n_blocks:
         raise ValueError("n_blocks must divide 64")
     bits = 64 // n_blocks
-    sig = simhash64(docs)
+    sig = simhash64(docs, words=words)
     words = F.array(
         *[
             F.conv(F.substring("simhash", i * bits + 1, bits), 2, 10).cast("long")

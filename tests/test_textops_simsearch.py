@@ -270,3 +270,19 @@ def test_ngram_jaccard_posting_cap(spark):
     assert not any(a >= 100 and b >= 100 for a, b in cfound)
     jac = exact.set_index(["doc_a", "doc_b"]).loc[(1, 2), "jaccard"]
     assert abs(jac - 5 / 7) < 1e-6  # 5 shared of 6+6 distinct trigrams
+
+
+def test_ivf_multiprobe_recall_monotone(spark, sf01_dir):
+    """Recall@5 vs brute force must rise with the probe count (the ANN
+    quality/row-budget knob measured by the s_ann_ivf_recall entry)."""
+    from kbspark.contract import CONTRACT_QUERIES
+
+    rows = {
+        r["n_probes"]: r["recall"]
+        for r in CONTRACT_QUERIES["s_ann_ivf_recall"](
+            spark, sf01_dir
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] <= rows[2] <= rows[3]
+    assert rows[3] >= 0.5  # 3 of 8 cells probed recovers most of top-5
