@@ -57,13 +57,23 @@ def main() -> None:
         _noop, schema="id long"
     ).count()
 
+    # best-of-N per query (VERDICT r02 #6): this box has multi-minute
+    # co-tenant noise waves (BENCH/BASELINE.md); the min of N runs
+    # separates plan regressions from noise. N=2 by default; all runs
+    # are recorded alongside the best.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     counts: dict[str, int] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        counts[name] = df.count()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            counts[name] = df.count()
+            runs.append(round(time.time() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
 
@@ -133,6 +143,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_runs": all_runs,
+        "bench_runs": n_runs,
         "el_stages": el_stages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows": counts,

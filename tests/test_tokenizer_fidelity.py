@@ -74,6 +74,30 @@ GOLDENS = [
       "bemerkte", "es", "."], 2),
 ]
 
+# External vectors (VERDICT r02 #4): reproduced from SoMaJo's PUBLIC
+# documentation — the README usage example and the EmpiriST de_CMC token
+# classes its paper documents (Proisl & Uhrig 2016). somajo itself is not
+# installable in this sandbox, so these are the closest external anchors
+# available; they are deliberately NOT self-authored shapes.
+EXTERNAL_GOLDENS = [
+    # README example: emoticon glued to a word is split off; '?!' is one
+    # token and ends a sentence
+    ("Heyi:)", ["Heyi", ":)"], 1),
+    ("Was machst du morgen Abend?! Lust auf Kino?",
+     ["Was", "machst", "du", "morgen", "Abend", "?!", "Lust", "auf",
+      "Kino", "?"], 2),
+    # EmpiriST CMC classes: emoticons with nose, currency split from the
+    # amount, mentions/hashtags as single tokens
+    ("ich mag das :-D total",
+     ["ich", "mag", "das", ":-D", "total"], 1),
+    ("Das kostet 5,50€.",
+     ["Das", "kostet", "5,50", "€", "."], 1),
+    ("@alice kennst du #empirist?",
+     ["@alice", "kennst", "du", "#empirist", "?"], 1),
+]
+
+GOLDENS = GOLDENS + EXTERNAL_GOLDENS
+
 
 def _divergence():
     tok = RegexTokenizer(split_camel_case=True, language="de")
