@@ -272,38 +272,37 @@ def link_entities(
 
     # one windowed pass serves BOTH the ranking and the sentinel rows
     # (ned.py:81): a mention with no candidate at/above threshold emits
-    # one '-' row — no second anti-join over the mention table.
-    mention_w = W.partitionBy("on_page_id", "entity_id")
-    w = mention_w.orderBy(
+    # one '-' row — no second anti-join over the mention table. Both
+    # window functions share ONE (partition, order) spec so Spark plans
+    # a single Window node over a single sort, and ranked + sentinel
+    # rows are emitted by one conditional projection instead of a union
+    # of two branches (a union would recompute the whole candidate-join
+    # + scoring subplan twice — it did, round 3 plan audit).
+    w = W.partitionBy("on_page_id", "entity_id").orderBy(
         F.col("proba").desc_nulls_last(), F.col("page_title").asc_nulls_last()
     )
+    whole = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     ok = matched_flag & (F.col("proba") >= threshold)
     scored = scored.withColumn("rank", F.row_number().over(w)).withColumn(
-        "_n_ok", F.sum(F.when(ok, 1).otherwise(0)).over(mention_w)
+        "_n_ok", F.sum(F.when(ok, 1).otherwise(0)).over(whole)
     )
-    ranked = scored.filter(ok).select(
+    is_sentinel = (F.col("_n_ok") == 0) & (F.col("rank") == 1)
+    return scored.filter(ok | is_sentinel).select(
         "entity_id",
-        "page_title",
-        F.coalesce(F.col("wikidata"), F.col("QID")).alias("wikidata"),
-        "proba",
+        F.when(is_sentinel, F.lit("-")).otherwise(F.col("page_title")).alias(
+            "page_title"
+        ),
+        F.when(is_sentinel, F.lit("-"))
+        .otherwise(F.coalesce(F.col("wikidata"), F.col("QID")))
+        .alias("wikidata"),
+        F.when(is_sentinel, F.lit(0.0)).otherwise(F.col("proba")).alias(
+            "proba"
+        ),
         "on_page_id",
         "on_page",
         "gt",
-        "rank",
+        F.when(is_sentinel, F.lit(1)).otherwise(F.col("rank")).alias("rank"),
     )
-    sentinels = scored.filter(
-        (F.col("_n_ok") == 0) & (F.col("rank") == 1)
-    ).select(
-        "entity_id",
-        F.lit("-").alias("page_title"),
-        F.lit("-").alias("wikidata"),
-        F.lit(0.0).alias("proba"),
-        "on_page_id",
-        "on_page",
-        "gt",
-        F.lit(1).alias("rank"),
-    )
-    return ranked.unionByName(sentinels)
 
 
 def linking_quality(el: DataFrame) -> DataFrame:

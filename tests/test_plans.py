@@ -162,3 +162,28 @@ def test_simhash_block_join_is_equi(spark, sf01_dir):
     plan = _plan(simhash_near_dups(docs, max_bucket=500))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_compound_filters_push_both_scans(spark, sf01_dir):
+    """p_scan_filters: a compound entry must not cost plan quality —
+    BOTH union sides push their predicates to their parquet scans and
+    the whole query stays shuffle-free."""
+    from kbspark.contract import CONTRACT_QUERIES
+
+    df = CONTRACT_QUERIES["p_scan_filters"](spark, sf01_dir)
+    plan = _formatted(df)
+    assert re.search(r"PushedFilters:.*EqualTo\(o_orderstatus,O\)", plan)
+    assert re.search(r"PushedFilters:.*StringStartsWith\(p_name,red\)", plan)
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_grouping_sets_compound_uses_expand(spark, sf01_dir):
+    """x_grouping_sets: rollup/cube run through Catalyst's Expand (one
+    scan per grouped set, no cartesian products)."""
+    from kbspark.contract import CONTRACT_QUERIES
+
+    df = CONTRACT_QUERIES["x_grouping_sets"](spark, sf01_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
