@@ -203,12 +203,19 @@ def linking_quality_job(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_job(spark: SparkSession, sf_dir: str, method: str = "minhash-lsh",
               threshold: float = 0.5, max_bucket: int = 10_000,
-              warehouse: str | None = None) -> DataFrame:
+              warehouse: str | None = None,
+              clusters: bool = False) -> DataFrame:
     """Training-pipeline dedup over the documents table: one entry point
     per family (exact fingerprint groups, MinHash-LSH pairs, SimHash
     pairs, posting-list n-gram Jaccard pairs), each with its boilerplate
     cap wired. With ``warehouse`` the pair/group table is committed
-    through the atomic-manifest catalog like every other stage output."""
+    through the atomic-manifest catalog like every other stage output.
+
+    ``clusters``: resolve the pair table into duplicate CLUSTERS
+    (connected components, ``textops.dup_clusters``) and return
+    (doc_id, cluster_id) with cluster_id = min doc_id — the survivor
+    selection a pair list alone can't express (a-b, b-c must keep ONE
+    of three)."""
     from kbspark import textops
     from pyspark.sql import functions as F
 
@@ -235,6 +242,8 @@ def dedup_job(spark: SparkSession, sf_dir: str, method: str = "minhash-lsh",
         )
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(f"unknown dedup method: {method}")
+    if clusters and method != "exact":
+        out = textops.dup_clusters(out)
     if warehouse:
         from kbspark.catalog import Catalog
 
@@ -270,6 +279,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--threshold", type=float, default=0.5)
     ap.add_argument("--max-bucket", type=int, default=10_000,
                     help="boilerplate bucket/posting cap (scale knob)")
+    ap.add_argument("--clusters", action="store_true",
+                    help="resolve dedup pairs into connected-component "
+                         "clusters (doc_id, cluster_id)")
     args = ap.parse_args(argv)
 
     from kbspark.session import get_spark
@@ -293,7 +305,7 @@ def main(argv: list[str] | None = None) -> None:
         df = dedup_job(
             spark, args.sf_dir, method=args.method,
             threshold=args.threshold, max_bucket=args.max_bucket,
-            warehouse=args.warehouse,
+            warehouse=args.warehouse, clusters=args.clusters,
         )
         print(json.dumps({"method": args.method, "rows": df.count()}))
 

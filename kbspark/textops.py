@@ -382,3 +382,67 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                 b_col: str = "doc_b",
+                 max_iterations: int = 50) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    (doc_id, cluster_id) with cluster_id = the component's minimum
+    doc_id. The survivor-selection step every dedup family needs at
+    scale: LSH/SimHash/Jaccard emit PAIRS, but "keep one doc per
+    duplicate CLUSTER" needs the transitive closure of those pairs
+    (a-b, b-c => keep one of {a,b,c}, not two).
+
+    Algorithm: iterative min-label propagation (the hash-join
+    formulation of connected components, same convergence as
+    large-star/small-star — O(log n) rounds on real graphs): every node
+    starts labeled with itself; each round joins labels across edges in
+    both directions, takes the min neighbor label, and stops when no
+    label changed. All equi-joins + two-phase min aggregations —
+    shuffle-keyed on node id, no driver-side graph, no cross join; the
+    driver-side fixpoint loop mirrors ``closure.reachable``
+    (localCheckpoint lineage truncation).
+
+    Rows with doc_a == doc_b and singletons (docs never appearing in
+    ``pairs``) are the caller's concern: output covers exactly the docs
+    that appear in a pair. Deterministic for any partitioning."""
+    edges = pairs.select(
+        F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
+    ).filter(F.col("_u") != F.col("_v")).distinct()
+    # undirected: keep one direction per edge + both join directions below
+    labels = (
+        edges.select(F.col("_u").alias("node"))
+        .unionByName(edges.select(F.col("_v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        via_u = edges.join(
+            labels.withColumnRenamed("node", "_u"), "_u"
+        ).select(F.col("_v").alias("node"), "label")
+        via_v = edges.join(
+            labels.withColumnRenamed("node", "_v"), "_v"
+        ).select(F.col("_u").alias("node"), "label")
+        prop = (
+            labels.unionByName(via_u)
+            .unionByName(via_v)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            prop.join(
+                labels.withColumnRenamed("label", "_old"), "node"
+            )
+            .filter(F.col("label") != F.col("_old"))
+            .isEmpty()
+        )
+        old = labels
+        labels = prop
+        if changed:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -286,3 +286,54 @@ def test_ivf_multiprobe_recall_monotone(spark, sf01_dir):
     assert set(rows) == {1, 2, 3}
     assert rows[1] <= rows[2] <= rows[3]
     assert rows[3] >= 0.5  # 3 of 8 cells probed recovers most of top-5
+
+
+def test_dup_clusters_connected_components(spark):
+    """dup_clusters: transitive closure of near-dup pairs — chains,
+    cycles, disjoint components, and determinism vs a python union-find
+    oracle on a random graph."""
+    import random
+
+    import pandas as pd
+
+    from kbspark.textops import dup_clusters
+
+    def oracle(pairs):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return sorted((x, find(x)) for x in parent)
+
+    # chain + triangle + disjoint pair + transitive bridge
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+             (20, 21), (4, 10)]
+    got = sorted(
+        tuple(r)
+        for r in dup_clusters(
+            spark.createDataFrame(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+        ).collect()
+    )
+    assert got == oracle(pairs)
+
+    rng = random.Random(7)
+    rand_pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    rand_pairs = [(a, b) for a, b in rand_pairs if a != b]
+    got = sorted(
+        tuple(r)
+        for r in dup_clusters(
+            spark.createDataFrame(
+                pd.DataFrame(rand_pairs, columns=["doc_a", "doc_b"])
+            )
+        ).collect()
+    )
+    assert got == oracle(rand_pairs)
