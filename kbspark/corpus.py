@@ -264,12 +264,15 @@ def _entity_type_of(title: str) -> str:
 
 def vocab_titles(spark, sf_dir: str):
     """Distinct >=4-char capitalized corpus vocabulary as a DataFrame
-    (column ``title``) — the shared input of both dim paths."""
+    (column ``title``) — the shared input of both dim paths. Derives
+    from the session-shared token table (``words_from_documents``) so a
+    session that also runs the dedup families tokenizes the corpus
+    once."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        docs.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        words_from_documents(spark, sf_dir)
+        .select(F.explode("_w").alias("w"))
         .filter(F.length("w") >= 4)
         .select(F.initcap("w").alias("title"))
         .distinct()
