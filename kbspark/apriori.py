@@ -12,8 +12,8 @@ explicitly, so the aggregation is **two-phase salted**:
 
 Phase 1 rows are at most S per key, so phase 2 is skew-free by
 construction. Results are exactly equal to the unsalted aggregation
-(asserted in tests and in the driver contract: a2_salted_apriori shares
-its oracle with a2_apriori_probs).
+(asserted in tests and in the driver contract: a2_apriori_salted runs
+the plain AND the salted aggregation against one oracle).
 """
 
 from __future__ import annotations
