@@ -632,6 +632,39 @@ LINKMAP_SCHEMA = (
     "url string, _linkmap map<string, struct<title: string, type: string>>"
 )
 
+TARGETS_SCHEMA = "url string, _target string"
+
+
+def link_target_stage(pages_df, text_col: str = "text"):
+    """(url, raw link target) pairs, deduplicated IN-BATCH per page —
+    the narrow front half of the frame-dim annotate path. A page lives
+    entirely inside one Arrow batch, so the per-page ``set()`` makes the
+    output globally unique: no distinct() shuffle downstream, and the
+    batch never materializes surfaces/positions it doesn't need."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, targets = [], []
+            for url, raw in zip(pdf["url"], pdf[text_col]):
+                seen = set()
+                for m in _WIKILINK.finditer(clean_text(raw)):
+                    title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
+                    title = _ANCHOR.match(title)[2]
+                    if title not in seen:
+                        seen.add(title)
+                        urls.append(url)
+                        targets.append(title)
+            yield pd.DataFrame(
+                {
+                    "url": pd.Series(urls, dtype="object"),
+                    "_target": pd.Series(targets, dtype="object"),
+                }
+            )
+
+    return pages_df.select("url", text_col).mapInPandas(
+        run, schema=TARGETS_SCHEMA
+    )
+
 
 def page_link_maps(pages_df, spark, entity_dim, redirect_dim,
                    text_col: str = "text", broadcast_dims: bool = True):
@@ -642,14 +675,11 @@ def page_link_maps(pages_df, spark, entity_dim, redirect_dim,
     by the number of distinct (page, target) pairs — links per page are
     O(100), so the per-page map is tiny regardless of corpus size and
     the dictionary itself never reaches the driver or the workers as a
-    whole object."""
+    whole object. The only shuffle is the final per-page fold
+    (``link_target_stage`` dedups in-batch)."""
     from pyspark.sql import functions as F
 
-    targets = (
-        mention_stage_raw(pages_df, spark, text_col=text_col)
-        .select("url", F.col("page_title").alias("_target"))
-        .distinct()
-    )
+    targets = link_target_stage(pages_df, text_col=text_col)
     resolved = _with_resolved_frames(
         targets, "_target", entity_dim, redirect_dim, broadcast_dims
     )

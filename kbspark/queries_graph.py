@@ -1171,7 +1171,7 @@ def s_ann_ivf_recall(spark, sf_dir):
 
     emb = spark.table("embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    n_queries = q.count()
+    nq = F.broadcast(q.agg(F.count("*").alias("_nq")))
     centroids = train_ivf_centroids(emb)
     bf = persist_tracked(
         knn_bruteforce(q, emb, k=5).select("query_id", "neighbor_id")
@@ -1188,12 +1188,13 @@ def s_ann_ivf_recall(spark, sf_dir):
                     F.count("*").alias("n_hits")
                 )
             )
+            .crossJoin(nq)
             .select(
                 F.lit(p).alias("n_probes"),
                 "n_retrieved",
                 "n_hits",
                 F.round(
-                    F.col("n_hits") / F.lit(5.0 * n_queries), 6
+                    F.col("n_hits") / (F.lit(5.0) * F.col("_nq")), 6
                 ).alias("recall"),
             )
         )

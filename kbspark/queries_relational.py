@@ -793,22 +793,29 @@ def a2_apriori_salted(spark, sf_dir):
     from kbspark.apriori import salted_count
 
     li = spark.table("lineitem")
-    total = li.count()
+    # total rides a broadcast single-row cross join — one lazy plan, no
+    # eager driver-side count() job at query-build time
+    tot = F.broadcast(li.agg(F.count("*").alias("_total")))
     plain = (
         li.groupBy(F.col("l_partkey").alias("target"))
         .agg(F.count("*").alias("n_links"))
+        .crossJoin(tot)
         .select(
             F.lit("plain").alias("variant"),
             "target",
             "n_links",
-            (F.col("n_links") / F.lit(total).cast("double")).alias("proba"),
+            (F.col("n_links") / F.col("_total").cast("double")).alias("proba"),
         )
     )
-    salted = salted_count(li, key="l_partkey", n_salts=16).select(
-        F.lit("salted").alias("variant"),
-        F.col("l_partkey").alias("target"),
-        F.col("n_links"),
-        (F.col("n_links") / F.lit(total).cast("double")).alias("proba"),
+    salted = (
+        salted_count(li, key="l_partkey", n_salts=16)
+        .crossJoin(tot)
+        .select(
+            F.lit("salted").alias("variant"),
+            F.col("l_partkey").alias("target"),
+            F.col("n_links"),
+            (F.col("n_links") / F.col("_total").cast("double")).alias("proba"),
+        )
     )
     return plain.unionByName(salted)
 

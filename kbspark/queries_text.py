@@ -210,9 +210,13 @@ def t_winnowing_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints, value-checked:
     k=3 word-grams, window 4 — the oracle replays gram hashing, the
     sliding window minima and the distinct selection in SQL."""
+    from kbspark.corpus import words_from_documents
     from kbspark.textops import winnowing_fingerprints
 
-    return winnowing_fingerprints(spark.table("documents"), k=3, window=4)
+    return winnowing_fingerprints(
+        spark.table("documents"), k=3, window=4,
+        words=words_from_documents(spark, sf_dir),
+    )
 
 
 @register(
@@ -246,9 +250,13 @@ def t_ngram_jaccard_pairs(spark, sf_dir):
     and SimHash; the oracle computes the same Jaccard all-pairs. The
     ``max_postings`` stop-shingle cap is the scale knob (not triggered at
     oracle scale; degenerate-cluster behavior tested in pytest)."""
+    from kbspark.corpus import words_from_documents
     from kbspark.textops import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(spark.table("documents"), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        spark.table("documents"), n=3, threshold=0.5,
+        words=words_from_documents(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -158,7 +158,8 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
                         max_postings: int | None = None,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
+                        text_col: str = "text",
+                        words: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via a posting-list join
     (the third dedup family next to MinHash-LSH and SimHash): explode
     distinct shingles to (shingle -> doc) postings, equi-join on the
@@ -174,7 +175,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     pairs far below any useful threshold. Dropping them makes the shared
     count a lower bound (recall<1 on affected pairs), never a false
     positive above it."""
-    sh = persist_tracked(shingles(docs, id_col=id_col, text_col=text_col, n=n))
+    wdf = words if words is not None else words_table(
+        docs, id_col=id_col, text_col=text_col
+    )
+    sh = persist_tracked(shingles_from_words(wdf, n=n))
     sizes_a = sh.select(
         F.col("doc_id").alias("doc_a"), F.size("shingles").alias("_sza")
     )
@@ -213,7 +217,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
 
 def winnowing_fingerprints(docs: DataFrame, k: int = 3, window: int = 4,
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           words: DataFrame | None = None) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03): hash every k-word gram, slide a ``window`` over the hash
     sequence, keep each window's minimum — guaranteeing any match of
@@ -224,7 +229,9 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 3, window: int = 4,
     fingerprint — the same posting-list shape as ``ngram_jaccard_pairs``
     with density reduced by ~2/(window+1), which is the whole point at
     100 TB: fingerprint postings are the index you can afford to keep)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    wdf = words if words is not None else words_table(
+        docs, id_col=id_col, text_col=text_col
+    )
     w = F.col("_w")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(w) - k),
@@ -239,7 +246,7 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 3, window: int = 4,
         lambda i: F.array_min(F.slice(F.col("_h"), i + 1, window)),
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+        wdf
         .filter(F.size("_w") >= k + window - 1)
         .select("doc_id", grams.alias("_g"))
         .select("doc_id", hashes.alias("_h"))
