@@ -206,3 +206,56 @@ def streaming_exact_dedup(
         q.stop()
     result = spark.table(name)
     return (result, progress) if return_progress else result
+
+
+def stream_to_catalog(
+    spark: SparkSession,
+    source_path: str,
+    catalog,
+    table: str,
+    transform=None,
+    max_files_per_trigger: int = 1,
+    query_name: str | None = None,
+) -> DataFrame:
+    """Streaming sink into the atomic-manifest catalog (§2.G × §2.A S4):
+    every micro-batch appends through ``Catalog.append`` — one manifest
+    entry per batch carrying its ``batchId`` — via ``foreachBatch``.
+    Spark's foreachBatch contract is at-least-once (a batch can be
+    re-delivered after a restart); the sink skips batch ids already in
+    the manifest, so TABLE CONTENTS are exactly-once (idempotence
+    asserted in tests). On a cluster the identical sink function rides a
+    checkpointLocation + an Iceberg table.
+
+    Processes everything available and returns the committed table."""
+    schema = spark.read.parquet(source_path).schema
+    name = query_name or f"sink_{uuid.uuid4().hex[:8]}"
+    if os.path.isfile(source_path):
+        d = tempfile.mkdtemp(prefix="kbspark_stream_")
+        os.symlink(os.path.abspath(source_path),
+                   os.path.join(d, os.path.basename(source_path)))
+        source_path = d
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_path)
+    )
+    out = transform(stream) if transform is not None else stream
+
+    def sink(batch_df, batch_id):
+        committed = {
+            e["meta"].get("stream_batch")
+            for e in catalog.snapshots(table)
+        }
+        if batch_id in committed:
+            return  # re-delivered batch: contents already committed
+        catalog.append(
+            table, batch_df,
+            meta={"stream_batch": batch_id, "stage": f"stream:{name}"},
+        )
+
+    q = out.writeStream.foreachBatch(sink).queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return catalog.read(table)

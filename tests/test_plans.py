@@ -187,3 +187,40 @@ def test_grouping_sets_compound_uses_expand(spark, sf01_dir):
     assert "Expand" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located join: two tables bucketed on the same key with the
+    same bucket count sort-merge-join with NO Exchange on either side —
+    the write-once-shuffle-never pattern for repeatedly-joined fact
+    tables at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from kbspark.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    a = spark.range(0, 10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("va")
+    )
+    b = spark.range(0, 5_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("vb")
+    )
+    cat.write_bucketed("bkt_a", a, "k", n_buckets=8)
+    cat.write_bucketed("bkt_b", b, "k", n_buckets=8)
+    try:
+        j = (
+            spark.table("bkt_a")
+            .hint("merge")
+            .join(spark.table("bkt_b"), "k")
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # no shuffle feeds the join: the only allowed Exchange is none —
+        # the groupBy on the bucket key reuses the bucketing too
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == 500
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

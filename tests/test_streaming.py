@@ -136,3 +136,57 @@ def test_watermarked_window_drops_late_and_emits_once(spark, tmp_path):
         if p.get("stateOperators")
     )
     assert dropped == 1  # exactly the late 10:02 event
+
+
+def test_stream_to_catalog_exactly_once(spark, tmp_path):
+    """foreachBatch sink into the atomic-manifest catalog: streamed
+    contents equal the batch read, one manifest entry per micro-batch,
+    and a re-delivered batch id (Spark's at-least-once restart contract)
+    commits nothing twice."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kbspark.catalog import Catalog
+    from kbspark.streaming import stream_to_catalog
+
+    src = tmp_path / "src"
+    for i in range(3):
+        pdf = pd.DataFrame({"k": [i] * 4, "v": list(range(4))})
+        spark.createDataFrame(pdf).repartition(1).write.parquet(
+            str(src / f"part{i}"), mode="overwrite"
+        )
+    # flatten: the file source wants one directory of parquet files
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for i, f in enumerate(
+        sorted(glob.glob(str(src / "part*" / "*.parquet")))
+    ):
+        shutil.copy(f, flat / f"f{i}.parquet")
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    out = stream_to_catalog(
+        spark, str(flat), cat, "events_sink",
+        transform=lambda s: s.select("k", (F.col("v") * 2).alias("v2")),
+    )
+    batch = spark.read.parquet(str(flat)).select(
+        "k", (F.col("v") * 2).alias("v2")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    entries = cat.snapshots("events_sink")
+    batch_ids = [e["meta"]["stream_batch"] for e in entries]
+    assert len(batch_ids) == len(set(batch_ids)) == 3  # one per micro-batch
+
+    # replay the whole stream (restart re-delivery of every batch id):
+    # the sink's manifest guard must commit nothing twice
+    n_before = cat.row_count("events_sink")
+    again = stream_to_catalog(
+        spark, str(flat), cat, "events_sink",
+        transform=lambda s: s.select("k", (F.col("v") * 2).alias("v2")),
+    )
+    assert cat.row_count("events_sink") == n_before
+    assert again.count() == n_before
