@@ -41,7 +41,11 @@ def reachable(
     (one join per level for all groups together instead of N separate
     fixpoints; the visited anti-join dedups per group)."""
     keep = [node, *group_cols]
-    edges = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # the edge table is joined once PER LEVEL — cache it so a derived
+    # edge frame (filters/joins upstream) doesn't re-execute per level
+    edges = persist_tracked(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    )
     visited = roots.select(*keep).distinct().localCheckpoint()
     frontier = visited
 

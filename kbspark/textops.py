@@ -414,9 +414,12 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     Rows with doc_a == doc_b and singletons (docs never appearing in
     ``pairs``) are the caller's concern: output covers exactly the docs
     that appear in a pair. Deterministic for any partitioning."""
+    # edges are joined TWICE PER ROUND below; materialize once so the
+    # (possibly expensive — e.g. a whole LSH pipeline) pair derivation
+    # never re-executes per iteration
     edges = pairs.select(
         F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
-    ).filter(F.col("_u") != F.col("_v")).distinct()
+    ).filter(F.col("_u") != F.col("_v")).distinct().localCheckpoint()
     # undirected: keep one direction per edge + both join directions below
     labels = (
         edges.select(F.col("_u").alias("node"))

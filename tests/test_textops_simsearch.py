@@ -337,3 +337,22 @@ def test_dup_clusters_connected_components(spark):
         ).collect()
     )
     assert got == oracle(rand_pairs)
+
+
+def test_fake_decoder_lane_math_exact():
+    """The fake decoder's lanes are exactly uint16(digest[2i:2i+2])/2^16
+    (the contract m_media_features oracle recomputes these from SHA256
+    hex in SQL — this pins the python side to the same math)."""
+    import hashlib
+
+    from kbspark.media import DeterministicFakeDecoder
+
+    payload = b"some payload bytes \x00\xff"
+    digest = hashlib.sha256(payload).digest()
+    got = DeterministicFakeDecoder(16).features(payload)
+    for i in range(16):
+        expect = int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65536.0
+        assert float(got[i]) == expect  # float32 == double, exactly
+    # dim > 16 extends by chained digests, stays deterministic
+    big = DeterministicFakeDecoder(24).features(payload)
+    assert list(big[:16]) == list(got)
