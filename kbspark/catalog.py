@@ -26,9 +26,14 @@ _PART_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
 
 def escape_part_value(v) -> str:
     """Render a partition value exactly as Spark writes the directory
-    name (URL-style %XX escapes for the Hive-reserved set). Spark writes
-    ``part_col=<escaped>`` — a literal f-string match silently misses
-    directories for values containing '/', '=', etc. (ADVICE r02)."""
+    name (URL-style %XX escapes for the Hive-reserved set; booleans as
+    lowercase true/false; NULL as the Hive default-partition marker).
+    A literal f-string match silently misses directories for values
+    containing '/', '=', etc. (ADVICE r02)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
     s = str(v)
     return "".join(
         f"%{ord(c):02X}" if c in _PART_ESCAPE else c for c in s

@@ -251,7 +251,10 @@ def words_from_documents(spark, sf_dir: str):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     wdf = words_table(docs).persist()
     while _WORDS_CACHE:
-        _WORDS_CACHE.popitem()[1].unpersist()
+        try:
+            _WORDS_CACHE.popitem()[1].unpersist()
+        except Exception:
+            pass  # entry from a stopped session — nothing to release
     _WORDS_CACHE[key] = wdf
     return wdf
 

@@ -628,10 +628,6 @@ def resolve_mentions_frames(raw_mentions, entity_dim, redirect_dim,
     )
 
 
-LINKMAP_SCHEMA = (
-    "url string, _linkmap map<string, struct<title: string, type: string>>"
-)
-
 TARGETS_SCHEMA = "url string, _target string"
 
 

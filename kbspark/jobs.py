@@ -54,7 +54,11 @@ def flagship_triples(spark: SparkSession, sf_dir: str,
     if dims is None:
         entity_dim, redirect_dim = dim_frames_from_documents(spark, sf_dir)
         raw = mention_stage_raw(pages, spark)
-        mentions = resolve_mentions_frames(raw, entity_dim, redirect_dim)
+        # dims here are corpus-scaling by definition — never force a
+        # broadcast; the planner/AQE picks (round-3 review finding)
+        mentions = resolve_mentions_frames(
+            raw, entity_dim, redirect_dim, broadcast_dims=False
+        )
         return build_triples_from_frames(mentions, entity_dim, redirect_dim)
     entity_types, redirect_targets = dims
     mentions = mention_stage(pages, spark, entity_types, redirect_targets)
@@ -145,30 +149,20 @@ def entity_linking_job(spark: SparkSession, sf_dir: str,
     # (surface->gt pairs) and linking — no second mention_stage scan
     spans = persist_tracked(mention_spans(tagged))
 
+    from kbspark.triples import redirect_alias_frame
+
     if dims is None:
         # frame path: dims are themselves big data
         dim, redirect_dim = dim_frames_from_documents(spark, sf_dir)
-        red = redirect_dim.join(
-            dim.select("page_title", "QID", "TYPE"), "page_title"
-        ).select(
-            "alias", "page_title", "QID", "TYPE", F.lit(0.0).alias("proba")
+        red = redirect_alias_frame(
+            spark, dim, redirect_dim=redirect_dim, proba=0.0
         )
         dim_hint = "auto"
     else:
         entity_types, redirect_targets = dims
         dim = entity_dim_df(spark, entity_types)
-        import pandas as pd
-
-        red_pdf = pd.DataFrame(
-            {
-                "alias": list(redirect_targets.keys()),
-                "page_title": list(redirect_targets.values()),
-            }
-        )
-        red = spark.createDataFrame(red_pdf).join(
-            dim.select("page_title", "QID", "TYPE"), "page_title"
-        ).select(
-            "alias", "page_title", "QID", "TYPE", F.lit(0.0).alias("proba")
+        red = redirect_alias_frame(
+            spark, dim, redirect_targets=redirect_targets, proba=0.0
         )
         dim_hint = "broadcast"
     # mined dictionary is corpus-scaling: cap targets per surface and let

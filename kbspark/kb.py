@@ -128,26 +128,17 @@ def build_knowledge_base(
         meta={"stage": "entities"},
     )
 
+    from kbspark.triples import redirect_alias_frame
+
     own = dim.select(
         F.col("page_title").alias("alias"), "page_title", "QID", "TYPE"
     )
     if dims is None:
-        red_frame = redirect_dim
+        red = redirect_alias_frame(spark, dim, redirect_dim=redirect_dim)
     else:
-        import pandas as pd
-
-        red_pdf = pd.DataFrame(
-            {
-                "alias": list(redirect_targets.keys()),
-                "page_title": list(redirect_targets.values()),
-            }
+        red = redirect_alias_frame(
+            spark, dim, redirect_targets=redirect_targets
         )
-        red_frame = spark.createDataFrame(red_pdf)
-    red = (
-        red_frame
-        .join(dim.select("page_title", "QID", "TYPE"), "page_title")
-        .select("alias", "page_title", "QID", "TYPE")
-    )
     cat.overwrite(
         "aliases", own.unionByName(red).distinct(), meta={"stage": "aliases"}
     )

@@ -218,15 +218,24 @@ def stream_to_catalog(
     query_name: str | None = None,
 ) -> DataFrame:
     """Streaming sink into the atomic-manifest catalog (§2.G × §2.A S4):
-    every micro-batch appends through ``Catalog.append`` — one manifest
-    entry per batch carrying its ``batchId`` — via ``foreachBatch``.
-    Spark's foreachBatch contract is at-least-once (a batch can be
-    re-delivered after a restart); the sink skips batch ids already in
-    the manifest, so TABLE CONTENTS are exactly-once (idempotence
-    asserted in tests). On a cluster the identical sink function rides a
-    checkpointLocation + an Iceberg table.
+    every micro-batch appends through ``Catalog.append`` via
+    ``foreachBatch``. Spark's foreachBatch contract is at-least-once (a
+    batch can be re-delivered after a restart); the sink dedups on a
+    CONTENT key — the sorted source-file names of the batch
+    (``input_file_name()``) — not the positional batchId: positional ids
+    shift when a restarted source orders files differently (e.g. a new
+    file lands with an older mtime), which would silently drop the new
+    batch and double-commit an old one (round-3 review finding). With
+    the content key, re-delivered files are skipped and genuinely new
+    files always commit — TABLE CONTENTS are exactly-once (asserted in
+    tests, including the shifted-assignment replay). Non-file batches
+    (no input_file_name) fall back to the batchId. On a cluster the
+    identical sink function rides a checkpointLocation + Iceberg.
 
     Processes everything available and returns the committed table."""
+    import hashlib
+
+    from pyspark.sql import functions as F
     schema = spark.read.parquet(source_path).schema
     name = query_name or f"sink_{uuid.uuid4().hex[:8]}"
     if os.path.isfile(source_path):
@@ -242,15 +251,31 @@ def stream_to_catalog(
     out = transform(stream) if transform is not None else stream
 
     def sink(batch_df, batch_id):
+        files = sorted(
+            os.path.basename(r["_f"])
+            for r in batch_df.select(
+                F.input_file_name().alias("_f")
+            ).distinct().collect()
+            if r["_f"]
+        )
+        key = (
+            "files:" + hashlib.sha256("\n".join(files).encode()).hexdigest()
+            if files
+            else f"batch:{batch_id}"
+        )
         committed = {
-            e["meta"].get("stream_batch")
+            e["meta"].get("stream_key")
             for e in catalog.snapshots(table)
         }
-        if batch_id in committed:
-            return  # re-delivered batch: contents already committed
+        if key in committed:
+            return  # re-delivered content: already committed
         catalog.append(
             table, batch_df,
-            meta={"stream_batch": batch_id, "stage": f"stream:{name}"},
+            meta={
+                "stream_key": key,
+                "stream_batch": batch_id,
+                "stage": f"stream:{name}",
+            },
         )
 
     q = out.writeStream.foreachBatch(sink).queryName(name).start()

@@ -340,13 +340,13 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         raise ValueError("n_blocks must divide 64")
     bits = 64 // n_blocks
     sig = simhash64(docs, words=words)
-    words = F.array(
+    block_words = F.array(
         *[
             F.conv(F.substring("simhash", i * bits + 1, bits), 2, 10).cast("long")
             for i in range(n_blocks)
         ]
     )
-    keyed = sig.select("doc_id", words.alias("blocks"))
+    keyed = sig.select("doc_id", block_words.alias("blocks"))
     # materialize once: both self-join sides read the tiny block table
     # (n_docs x n_blocks longs) instead of recomputing the full signature
     # aggregation twice
@@ -401,15 +401,19 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     duplicate CLUSTER" needs the transitive closure of those pairs
     (a-b, b-c => keep one of {a,b,c}, not two).
 
-    Algorithm: iterative min-label propagation (the hash-join
-    formulation of connected components, same convergence as
-    large-star/small-star — O(log n) rounds on real graphs): every node
-    starts labeled with itself; each round joins labels across edges in
-    both directions, takes the min neighbor label, and stops when no
-    label changed. All equi-joins + two-phase min aggregations —
-    shuffle-keyed on node id, no driver-side graph, no cross join; the
-    driver-side fixpoint loop mirrors ``closure.reachable``
-    (localCheckpoint lineage truncation).
+    Algorithm: min-label propagation WITH pointer jumping. Each round
+    (a) takes the min label across edge neighbors in both directions,
+    then (b) replaces every label by its label's label (path halving —
+    labels are themselves node ids, so they resolve in the same table).
+    Neighbor propagation alone moves a component's min one hop per
+    round (O(diameter) — a 71-doc boilerplate chain would NOT converge
+    in 50 rounds); the jump step doubles resolved path lengths, giving
+    O(log diameter) rounds like large-star/small-star. All equi-joins +
+    two-phase min aggregations — shuffle-keyed on node id, no
+    driver-side graph, no cross join; the driver-side fixpoint loop
+    mirrors ``closure.reachable`` (localCheckpoint lineage truncation).
+    Raises RuntimeError instead of silently returning an unconverged
+    (wrong) clustering if max_iterations is exhausted.
 
     Rows with doc_a == doc_b and singletons (docs never appearing in
     ``pairs``) are the caller's concern: output covers exactly the docs
@@ -428,6 +432,7 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iterations):
         via_u = edges.join(
             labels.withColumnRenamed("node", "_u"), "_u"
@@ -440,19 +445,34 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
             .unionByName(via_v)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump (path halving): label <- label's label. Every
+        # label is itself a node in `prop`, so one self-join resolves it.
+        lookup = prop.select(
+            F.col("node").alias("label"), F.col("label").alias("_ll")
+        )
+        prop = (
+            prop.join(lookup, "label", "left")
+            .select(
+                "node", F.coalesce(F.col("_ll"), F.col("label")).alias("label")
+            )
             .localCheckpoint()
         )
-        changed = (
+        converged = (
             prop.join(
                 labels.withColumnRenamed("label", "_old"), "node"
             )
             .filter(F.col("label") != F.col("_old"))
             .isEmpty()
         )
-        old = labels
         labels = prop
-        if changed:
+        if converged:
             break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iterations} rounds — "
+            "raise max_iterations (component diameter exceeds 2^rounds)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

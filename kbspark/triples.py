@@ -46,6 +46,37 @@ def entity_dim_df(spark, entity_types: dict[str, str]) -> DataFrame:
     return spark.createDataFrame(pdf).withColumn("QID", qid_col())
 
 
+def redirect_alias_frame(spark, dim: DataFrame,
+                         redirect_targets: dict[str, str] | None = None,
+                         redirect_dim: DataFrame | None = None,
+                         proba: float | None = None) -> DataFrame:
+    """(alias, page_title, QID, TYPE[, proba]) — redirect edges enriched
+    with the entity dimension. One implementation for BOTH dim paths
+    (round-3 review: the logic was copy-pasted across the EL job and the
+    KB build in dict and frame variants): pass ``redirect_targets``
+    (collected dict, bounded by DIM_COLLECT_CAP) or ``redirect_dim``
+    (DataFrame (alias, page_title), the corpus-scaling path)."""
+    import pandas as pd
+
+    if redirect_dim is None:
+        pdf = pd.DataFrame(
+            {
+                "alias": list((redirect_targets or {}).keys()),
+                "page_title": list((redirect_targets or {}).values()),
+            }
+        )
+        if pdf.empty:
+            pdf = pd.DataFrame({"alias": pd.Series(dtype="object"),
+                                "page_title": pd.Series(dtype="object")})
+        redirect_dim = spark.createDataFrame(pdf)
+    out = redirect_dim.join(
+        dim.select("page_title", "QID", "TYPE"), "page_title"
+    ).select("alias", "page_title", "QID", "TYPE")
+    if proba is not None:
+        out = out.withColumn("proba", F.lit(proba))
+    return out
+
+
 def mention_triples(mentions: DataFrame, entity_dim: DataFrame,
                     broadcast_dim: bool = True) -> DataFrame:
     """Resolved mentions -> (url, 'mentions', QID) triples with an

@@ -152,3 +152,11 @@ def test_partition_value_escaping():
     assert escape_part_value(7) == "7"
     assert escape_part_value("a/b=c:d") == "a%2Fb%3Dc%3Ad"
     assert escape_part_value("plain-Value_1.x") == "plain-Value_1.x"
+
+
+def test_partition_value_escaping_bool_and_null():
+    from kbspark.catalog import escape_part_value
+
+    assert escape_part_value(True) == "true"
+    assert escape_part_value(False) == "false"
+    assert escape_part_value(None) == "__HIVE_DEFAULT_PARTITION__"

@@ -190,3 +190,30 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
     )
     assert cat.row_count("events_sink") == n_before
     assert again.count() == n_before
+
+    # shifted batch assignment (round-3 review finding): a NEW file with
+    # an OLDER mtime re-orders the source, so positional batch ids no
+    # longer line up — the content key must still commit exactly the new
+    # file's rows and re-commit nothing
+    import os
+    import time
+
+    pdf = pd.DataFrame({"k": [9] * 4, "v": list(range(4))})
+    spark.createDataFrame(pdf).repartition(1).write.parquet(
+        str(src / "part9"), mode="overwrite"
+    )
+    newf = glob.glob(str(src / "part9" / "*.parquet"))[0]
+    shutil.copy(newf, flat / "a_older.parquet")  # sorts/ages first
+    old_time = time.time() - 9999
+    os.utime(flat / "a_older.parquet", (old_time, old_time))
+
+    merged = stream_to_catalog(
+        spark, str(flat), cat, "events_sink",
+        transform=lambda s: s.select("k", (F.col("v") * 2).alias("v2")),
+    )
+    assert cat.row_count("events_sink") == n_before + 4
+    per_key = {
+        r["k"]: r["n"]
+        for r in merged.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_key == {0: 4, 1: 4, 2: 4, 9: 4}

@@ -356,3 +356,22 @@ def test_fake_decoder_lane_math_exact():
     # dim > 16 extends by chained digests, stays deterministic
     big = DeterministicFakeDecoder(24).features(payload)
     assert list(big[:16]) == list(got)
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 71-doc pairwise chain (the boilerplate-version-chain shape) is
+    ONE component; pointer jumping must converge in O(log diameter)
+    rounds — plain neighbor propagation would need 70 (review finding,
+    round 3)."""
+    import pandas as pd
+
+    from kbspark.textops import dup_clusters
+
+    pairs = [(i, i + 1) for i in range(70)]
+    out = dup_clusters(
+        spark.createDataFrame(pd.DataFrame(pairs, columns=["doc_a", "doc_b"])),
+        max_iterations=12,  # ~log2(70) + propagation slack
+    )
+    rows = out.collect()
+    assert len(rows) == 71
+    assert {r["cluster_id"] for r in rows} == {0}
