@@ -49,6 +49,7 @@ def reachable(
     visited = roots.select(*keep).distinct().localCheckpoint()
     frontier = visited
 
+    exhausted = True
     for i in range(max_iterations):
         nxt = (
             frontier.join(edges, frontier[node] == edges["_src"])
@@ -61,17 +62,27 @@ def reachable(
         else:
             new = persist_tracked(new)
         if new.isEmpty():
+            exhausted = False
             break
         # new is distinct and anti-joined against visited, so the union
         # of the two disjoint distinct sets needs no distinct() — one
         # fewer shuffle per BFS level
         visited = visited.unionByName(new).localCheckpoint()
         frontier = new
+    if exhausted:
+        # returning the partial set would silently drop everything below
+        # level max_iterations (round-3 review) — the reference recurses
+        # to exhaustion, so an unfinished fixpoint is an error here
+        raise RuntimeError(
+            f"reachable() frontier still non-empty after {max_iterations} "
+            "levels — raise max_iterations for deeper graphs"
+        )
     return visited
 
 
 def descendant_edges(edges: DataFrame, root: str, parent: str = "cl_to",
-                     child_title: str = "page_title") -> DataFrame:
+                     child_title: str = "page_title",
+                     closure_hint: str = "broadcast") -> DataFrame:
     """The reference's get_sub_cats (wikipedia/entities.py:33-48): all
     distinct edge rows whose parent category is in the transitive closure
     below ``root``. ``edges`` columns: (cl_to = parent title, cl_from =
@@ -89,9 +100,10 @@ def descendant_edges(edges: DataFrame, root: str, parent: str = "cl_to",
         ),
         roots,
     )
-    return edges.join(
-        F.broadcast(closure.withColumnRenamed("node", parent)), parent
-    ).distinct()
+    keyed = closure.withColumnRenamed("node", parent)
+    if closure_hint == "broadcast":
+        keyed = F.broadcast(keyed)
+    return edges.join(keyed, parent).distinct()
 
 
 #: the reference extract job's hard-coded German root categories
@@ -110,6 +122,7 @@ def category_entities(
     type_roots: dict[str, tuple[str, ...]] | None = None,
     notion_root: str = DEFAULT_NOTION_ROOT,
     drop_prefix: str = "Liste_",
+    closure_hint: str = "broadcast",
 ) -> DataFrame:
     """The reference's ``extract-wiki-ner-entities`` job
     (qurator/wikipedia/entities.py:196-247) composed from the closure
@@ -152,10 +165,14 @@ def category_entities(
 
     # member pages: ns-0 pages whose id appears under a closure category,
     # tagged by typ (the get_category_pages analog, one pass for all typs)
+    # the closure scales with the category graph: 'broadcast' fits the
+    # reference-sized KB, 'auto' lets the planner/AQE shuffle-join a
+    # full-web category closure (same knob as dim_hint, round-3 review)
+    closure_keyed = closure.withColumnRenamed("node", "cl_to")
+    if closure_hint == "broadcast":
+        closure_keyed = F.broadcast(closure_keyed)
     member_ids = (
-        edges.join(
-            F.broadcast(closure.withColumnRenamed("node", "cl_to")), "cl_to"
-        )
+        edges.join(closure_keyed, "cl_to")
         .select(F.col("cl_from").alias("page_id"), "typ")
         .distinct()
     )

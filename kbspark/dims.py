@@ -61,8 +61,11 @@ def _with_ord(df: DataFrame, class_rank: int) -> DataFrame:
     single-file seeds."""
     if "_seq" not in df.columns:
         df = df.withColumn("_seq", F.monotonically_increasing_id())
+    # band must exceed any surrogate _seq: monotonically_increasing_id
+    # is partitionId*2^33 + row, so 10**15 holds up to ~116k partitions
+    # (round-3 review: 10**12 overflowed from partition 117 on)
     return df.withColumn(
-        "_ord", F.lit(class_rank).cast("long") * F.lit(10**12) + F.col("_seq")
+        "_ord", F.lit(class_rank).cast("long") * F.lit(10**15) + F.col("_seq")
     )
 
 
@@ -137,9 +140,9 @@ def build_entities(
     )
 
     # group rank keeps pandas concat order per/loc/org (entities.py:34)
-    per = per.withColumn("_ord", F.col("_ord") + F.lit(0 * 10**15))
-    loc = loc.withColumn("_ord", F.col("_ord") + F.lit(1 * 10**15))
-    org = org.withColumn("_ord", F.col("_ord") + F.lit(2 * 10**15))
+    per = per.withColumn("_ord", F.col("_ord") + F.lit(0 * 10**17))
+    loc = loc.withColumn("_ord", F.col("_ord") + F.lit(1 * 10**17))
+    org = org.withColumn("_ord", F.col("_ord") + F.lit(2 * 10**17))
 
     ent = per.unionByName(loc, allowMissingColumns=True).unionByName(
         org, allowMissingColumns=True
@@ -156,7 +159,7 @@ def build_entities(
     # order (entities.py:39; pandas .first() skips NaN per column)
     first_cols = [
         F.expr(f"min_by({c}, _ord) FILTER (WHERE {c} IS NOT NULL)").alias(c)
-        for c in ["label", "sitelink", "dateofbirth", "inception", "coords", "gndid"]
+        for c in SEED_VALUE_COLS
     ]
     ent = ent.groupBy("wikidata").agg(
         F.min("_ord").alias("_ord"), *first_cols
@@ -264,18 +267,22 @@ def wikidata_mapping(
 
 
 def per_language_entities(mapping: DataFrame, lang: str) -> DataFrame:
-    """The reference's per-language output (entities.py:308-317):
-    (page_title, TYPE) for one language, nulls dropped, dedup keep-first
-    by title order."""
+    """The reference's per-language output (entities.py:305-317): the
+    mapping is sorted by QID and then deduplicated keep-first on the
+    language's title — so for an ambiguous title the MIN-QID row's TYPE
+    survives (round-3 review: ordering by TYPE diverged from the
+    reference). (page_title, TYPE) for one language, nulls dropped."""
     out = (
-        mapping.select(F.col(lang).alias("page_title"), "TYPE")
+        mapping.select(F.col(lang).alias("page_title"), "TYPE", "QID")
         .dropna(how="any")
     )
-    w = W.partitionBy("page_title").orderBy(F.col("TYPE").asc())
+    w = W.partitionBy("page_title").orderBy(
+        F.col("QID").asc(), F.col("TYPE").asc()
+    )
     return (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "QID")
     )
 
 
@@ -301,7 +308,6 @@ def hash_split(
                                    F.col(key_col).cast("string"))), 1, 8),
         16, 10,
     ).cast("double") / F.lit(float(16**8))
-    expr = F.lit("rest")
     lo = 0.0
     # build a CASE over cumulative fraction boundaries
     conds = []

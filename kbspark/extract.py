@@ -377,11 +377,15 @@ def annotated_tokenization(
     entity_types: dict[str, str],
     redirect_targets: dict[str, str],
     resolver=None,
+    already_clean: bool = False,
 ) -> list[tuple[int, int, str, str, str]]:
     """Full E1→E5 chain for one document; rows are
     ``(sentence, token, word, page_title, tag)`` (ner.py:144-167,
-    including the sentinel-offset realignment at :154-165)."""
-    parts = extract_link_parts(clean_text(raw_text), entity_types,
+    including the sentinel-offset realignment at :154-165).
+    ``already_clean`` skips the E1 cascade when the caller has cleaned
+    the text once for multiple consumers (frame-dim annotate path)."""
+    cleaned = raw_text if already_clean else clean_text(raw_text)
+    parts = extract_link_parts(cleaned, entity_types,
                                redirect_targets, resolver=resolver)
     if not parts:
         return []
@@ -425,8 +429,11 @@ def pack_page(rows) -> tuple[list[list[str]], list[list[str]], list[list[str]]]:
 # per (Python worker, lang), the direct analog of the reference's pool
 # initializer (ner.py:199-207 via prun initializer, ner.py:292-293) —
 # extended per SURVEY §2 E3 for the multilingual web corpus (the
-# reference hard-codes de_CMC; our input carries a lang column).
-_WORKER_TOKENIZERS: dict[str, object] = {}
+# reference hard-codes de_CMC; our input carries a lang column). Keyed
+# by (lang, factory): Python workers are reused across jobs in one
+# application, so a lang-only key would silently serve a previous job's
+# tokenizer to a job that injected a different factory (round-3 review).
+_WORKER_TOKENIZERS: dict[tuple, object] = {}
 _WORKER_SPLITTER: RegexSentenceSplitter | None = None
 
 
@@ -452,11 +459,17 @@ def default_tokenizer_factory(lang: str):
 def _worker_nlp(lang: str = "und", tokenizer_factory=None):
     global _WORKER_SPLITTER
     factory = tokenizer_factory or default_tokenizer_factory
-    if lang not in _WORKER_TOKENIZERS:
-        _WORKER_TOKENIZERS[lang] = factory(lang)
+    # module+qualname, not object identity: cloudpickle deserializes a
+    # fresh function object per task, which would defeat the cache; two
+    # DIFFERENT factories sharing a qualname would collide — name your
+    # factories distinctly
+    key = (lang, getattr(factory, "__module__", ""),
+           getattr(factory, "__qualname__", repr(factory)))
+    if key not in _WORKER_TOKENIZERS:
+        _WORKER_TOKENIZERS[key] = factory(lang)
     if _WORKER_SPLITTER is None:
         _WORKER_SPLITTER = RegexSentenceSplitter()
-    return _WORKER_TOKENIZERS[lang], _WORKER_SPLITTER
+    return _WORKER_TOKENIZERS[key], _WORKER_SPLITTER
 
 
 CLEANED_SCHEMA = "url string, cleaned string"
@@ -631,7 +644,8 @@ def resolve_mentions_frames(raw_mentions, entity_dim, redirect_dim,
 TARGETS_SCHEMA = "url string, _target string"
 
 
-def link_target_stage(pages_df, text_col: str = "text"):
+def link_target_stage(pages_df, text_col: str = "text",
+                      already_clean: bool = False):
     """(url, raw link target) pairs, deduplicated IN-BATCH per page —
     the narrow front half of the frame-dim annotate path. A page lives
     entirely inside one Arrow batch, so the per-page ``set()`` makes the
@@ -643,7 +657,8 @@ def link_target_stage(pages_df, text_col: str = "text"):
             urls, targets = [], []
             for url, raw in zip(pdf["url"], pdf[text_col]):
                 seen = set()
-                for m in _WIKILINK.finditer(clean_text(raw)):
+                cleaned = raw if already_clean else clean_text(raw)
+                for m in _WIKILINK.finditer(cleaned):
                     title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
                     title = _ANCHOR.match(title)[2]
                     if title not in seen:
@@ -663,7 +678,8 @@ def link_target_stage(pages_df, text_col: str = "text"):
 
 
 def page_link_maps(pages_df, spark, entity_dim, redirect_dim,
-                   text_col: str = "text", broadcast_dims: bool = True):
+                   text_col: str = "text", broadcast_dims: bool = True,
+                   already_clean: bool = False):
     """Per-page resolution maps for the frame-dim annotate path: the
     DISTINCT raw link targets of every page are resolved by relational
     joins (``_with_resolved_frames``), then folded back into one small
@@ -675,21 +691,28 @@ def page_link_maps(pages_df, spark, entity_dim, redirect_dim,
     (``link_target_stage`` dedups in-batch)."""
     from pyspark.sql import functions as F
 
-    targets = link_target_stage(pages_df, text_col=text_col)
+    targets = link_target_stage(
+        pages_df, text_col=text_col, already_clean=already_clean
+    )
     resolved = _with_resolved_frames(
         targets, "_target", entity_dim, redirect_dim, broadcast_dims
     )
+    # deterministic keep-min guard: duplicate dim-side keys (e.g. a raw
+    # redirect dump with two rows per alias) would otherwise crash
+    # map_from_entries with DUPLICATED_MAP_KEY (round-3 review); the
+    # dict path dedups keep-first upstream by contract, this makes the
+    # frame path total and deterministic for any input
+    resolved = resolved.groupBy("url", "_target").agg(
+        F.min(
+            F.struct(
+                F.col("_resolved_title").alias("title"),
+                F.col("_resolved_type").alias("type"),
+            )
+        ).alias("_r")
+    )
     return resolved.groupBy("url").agg(
         F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    F.col("_target"),
-                    F.struct(
-                        F.col("_resolved_title").alias("title"),
-                        F.col("_resolved_type").alias("type"),
-                    ),
-                )
-            )
+            F.collect_list(F.struct(F.col("_target"), F.col("_r")))
         ).alias("_linkmap")
     )
 
@@ -706,17 +729,37 @@ def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
     resolver reads that map. Output is value-identical to the dict path
     (asserted in tests/test_dims_frames.py)."""
 
-    maps = page_link_maps(
-        pages_df, spark, entity_dim, redirect_dim,
-        text_col=text_col, broadcast_dims=broadcast_dims,
-    )
+    from kbspark.session import persist_tracked
+
+    # E1 runs ONCE per page (round-3 review: the target scan and the
+    # annotate pass each ran the full clean_text cascade — 2x the
+    # dominant extraction cost). One narrow stage cleans while carrying
+    # the annotate columns; both consumers read the persisted result.
     cols = ["url"]
     if title_col != "url":
         cols.append(title_col)
-    cols.append(text_col)
     if lang_col:
         cols.append(lang_col)
-    enriched = pages_df.select(*cols).join(maps, "url", "left")
+    passthrough_schema = ", ".join(f"{c} string" for c in cols)
+
+    def clean_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: pdf[c] for c in cols}
+            out["_cleaned"] = pdf[text_col].map(clean_text)
+            yield pd.DataFrame(out)
+
+    cleaned = persist_tracked(
+        pages_df.select(*cols, text_col).mapInPandas(
+            clean_run, schema=passthrough_schema + ", _cleaned string"
+        )
+    )
+
+    maps = page_link_maps(
+        cleaned, spark, entity_dim, redirect_dim,
+        text_col="_cleaned", broadcast_dims=broadcast_dims,
+        already_clean=True,
+    )
+    enriched = cleaned.join(maps, "url", "left")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -724,7 +767,7 @@ def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
             out = {"url": [], "page_title": [], "text": [], "tags": [],
                    "link_titles": []}
             for url, title, raw, lang, linkmap in zip(
-                pdf["url"], pdf[title_col], pdf[text_col], langs,
+                pdf["url"], pdf[title_col], pdf["_cleaned"], langs,
                 pdf["_linkmap"],
             ):
                 # Arrow map columns arrive as sequences of (key, value)
@@ -744,7 +787,8 @@ def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
 
                 tokenizer, splitter = _worker_nlp(lang, tokenizer_factory)
                 rows = annotated_tokenization(
-                    raw, tokenizer, splitter, {}, {}, resolver=resolver
+                    raw, tokenizer, splitter, {}, {}, resolver=resolver,
+                    already_clean=True,
                 )
                 text, tags, link_titles = pack_page(rows)
                 out["url"].append(url)

@@ -235,6 +235,11 @@ def link_entities(
     (same semantics either way). Applies to the profiles join too."""
     if aliases_hint not in ("broadcast", "auto"):
         raise ValueError(f"unknown aliases_hint: {aliases_hint}")
+    # the documented aliases schema is (alias, page_title, QID, TYPE,
+    # proba); a wikidata column is optional and defaults to the QID
+    # (round-3 review: every caller was forced to hand-patch it)
+    if "wikidata" not in aliases.columns:
+        aliases = aliases.withColumn("wikidata", F.col("QID"))
 
     def sized(df):
         return F.broadcast(df) if aliases_hint == "broadcast" else df

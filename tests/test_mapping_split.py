@@ -96,3 +96,27 @@ def test_hash_split_fraction_guard(spark):
     df = spark.range(10).withColumnRenamed("id", "k")
     with pytest.raises(ValueError):
         hash_split(df, "k", {"a": 0.7, "b": 0.7})
+
+def test_per_language_dedup_keeps_min_qid_row(spark):
+    """Reference parity (entities.py:305-317): the mapping is sorted by
+    QID before the per-language keep-first dedup, so an ambiguous title
+    keeps the MIN-QID row's TYPE (round-3 review: ordering by TYPE kept
+    the wrong row)."""
+    import pandas as pd
+
+    from kbspark.dims import per_language_entities
+
+    mapping = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "QID": ["Q2", "Q1", "Q3"],
+                "DE": ["X", "X", "Y"],
+                "TYPE": ["LOC", "PER", "ORG"],
+            }
+        )
+    )
+    out = {
+        r["page_title"]: r["TYPE"]
+        for r in per_language_entities(mapping, "DE").collect()
+    }
+    assert out == {"X": "PER", "Y": "ORG"}  # Q1 < Q2 -> PER survives
