@@ -24,6 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 _PART_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(0x20)}
 
 
+def part_count_key(v) -> str:
+    """Canonical string key for per-partition row counts: matches the
+    value strings Spark yields when reading partition dirs with type
+    inference DISABLED (round-3 review: inference turned '01' into 1 and
+    the count lookup silently recorded n_rows=0)."""
+    if v is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def escape_part_value(v) -> str:
     """Render a partition value exactly as Spark writes the directory
     name (URL-style %XX escapes for the Hive-reserved set; booleans as
@@ -122,11 +134,21 @@ class Catalog:
         ]
         counts: dict = {}
         if part_dirs:
-            staged = self.spark.read.option("basePath", base).parquet(base)
-            for r in (
-                staged.groupBy(part_col).agg(F.count("*").alias("n")).collect()
-            ):
-                counts[r[part_col]] = r["n"]
+            # type inference OFF so '01' stays '01' — counts are keyed by
+            # the canonical string (part_count_key) on both sides
+            conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+            old_conf = self.spark.conf.get(conf_key, "true")
+            self.spark.conf.set(conf_key, "false")
+            try:
+                staged = self.spark.read.option("basePath", base).parquet(base)
+                for r in (
+                    staged.groupBy(part_col)
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                ):
+                    counts[part_count_key(r[part_col])] = r["n"]
+            finally:
+                self.spark.conf.set(conf_key, old_conf)
         return {"base": base, "part_col": part_col, "counts": counts}
 
     def commit_staged(self, table: str, staged: dict, values: list,
@@ -149,7 +171,9 @@ class Catalog:
             "snapshot": f"snap-{len(entries):05d}-{uuid.uuid4().hex[:8]}",
             "paths": paths,
             "base_path": staged["base"],
-            "n_rows": int(sum(staged["counts"].get(v, 0) for v in values)),
+            "n_rows": int(
+                sum(staged["counts"].get(part_count_key(v), 0) for v in values)
+            ),
             "meta": meta or {},
         }
         entries.append(entry)

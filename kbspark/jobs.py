@@ -216,7 +216,7 @@ def dedup_job(spark: SparkSession, sf_dir: str, method: str = "minhash-lsh",
     pin_session_conf(spark)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if method == "exact":
-        fp = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+        fp = textops.content_fingerprint("text")
         out = (
             docs.select("doc_id", fp.alias("fp"))
             .groupBy("fp")

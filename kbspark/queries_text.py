@@ -101,11 +101,10 @@ def t_exact_dedup(spark, sf_dir):
     stats (dup count, deterministic survivor = min doc_id) via one
     window — verifies both the doc->fingerprint map and the hash-groupBy
     dedup in a single entry, stronger than either half alone."""
+    from kbspark.textops import content_fingerprint
+
     fp = spark.table("documents").select(
-        "doc_id",
-        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))).alias(
-            "fingerprint"
-        ),
+        "doc_id", content_fingerprint("text").alias("fingerprint")
     )
     w = W.partitionBy("fingerprint")
     return fp.select(

@@ -69,23 +69,31 @@ def redirects_to_entities(entities: DataFrame, redirects: DataFrame) -> DataFram
     joined = entities.select("page_title", "TYPE").join(
         r, entities.page_title == r.rd_from_title, "left"
     )
-    # case 1: not a redirect source -> keep as-is
+    # case 1: not a redirect source -> keep as-is (source = own title)
     keep = joined.filter(F.col("redirect_target").isNull()).select(
-        "page_title", "TYPE"
+        "page_title", "TYPE", F.col("page_title").alias("_src")
     )
     # case 2: redirect source whose target is NOT an entity -> emit target
     # with the source's TYPE (entities.py:179-184)
     redirected = joined.filter(F.col("redirect_target").isNotNull()).select(
-        F.col("redirect_target").alias("page_title"), "TYPE"
+        F.col("redirect_target").alias("page_title"),
+        "TYPE",
+        F.col("page_title").alias("_src"),
     )
     target_not_entity = redirected.join(
         entities.select("page_title"), "page_title", "left_anti"
     )
     out = keep.unionByName(target_not_entity)
-    w = W.partitionBy("page_title").orderBy(F.col("TYPE").asc())
+    # keep-first in the reference's iteration order — all_entities sorted
+    # by SOURCE title (entities.py:164-165) — so for a multi-source
+    # target the alphabetically-first SOURCE's TYPE survives (round-3
+    # review: ordering by TYPE kept a different row)
+    w = W.partitionBy("page_title").orderBy(
+        F.col("_src").asc(), F.col("TYPE").asc()
+    )
     return out.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") == 1
-    ).drop("_rn")
+    ).drop("_rn", "_src")
 
 
 def redirect_dict(redirects: DataFrame) -> dict[str, str]:

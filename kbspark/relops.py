@@ -29,19 +29,23 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in (by, ts)
     ]
-    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_rts", F.lit(None).cast(
-        right.schema[ts].dataType
-    ))
-    for c in value_cols:
-        l_tag = l_tag.withColumn(f"_r_{c}", F.lit(None).cast(
-            right.schema[c].dataType
-        ))
+    # the carried payload is ONE struct per right row (ts + values), so
+    # ts_asof and every value_asof always come from the SAME right row —
+    # carrying columns independently with last(ignorenulls) would splice
+    # a NULL-valued latest row with an older row's value (round-3 review)
+    r_struct = F.struct(
+        F.col(ts).alias("_ts"),
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
     r_tag = right.select(
         by,
         F.col(ts),
         F.lit(0).alias("_side"),
-        F.col(ts).alias("_rts"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        r_struct.alias("_r"),
+    )
+    struct_type = r_tag.schema["_r"].dataType
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_type)
     )
     for c in left.columns:
         if c not in (by, ts):
@@ -54,12 +58,14 @@ def asof_join(
     )
     carried = unioned.select(
         "*",
-        F.last("_rts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+        F.last("_r", ignorenulls=True).over(w).alias("_last_r"),
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        "*",
+        F.col("_last_r._ts").alias(f"{ts}{suffix}"),
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            F.col(f"_last_r._v_{c}").alias(f"{c}{suffix}")
             for c in value_cols
         ],
     )
-    return carried.filter(F.col("_side") == 1).drop(
-        "_side", "_rts", *[f"_r_{c}" for c in value_cols]
-    )
+    return out.drop("_side", "_r", "_last_r")

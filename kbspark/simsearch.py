@@ -226,14 +226,27 @@ def _hyperplane_sign(vec_col, plane_id: int, dim: int):
 
 
 def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
-            n_planes: int = 4, n_tables: int = 8, dim: int = 64,
+            n_planes: int = 4, n_tables: int = 8, dim: int | None = 64,
             id_col: str = "vec_id", vec_col: str = "embedding",
             round_to: int | None = 4) -> DataFrame:
     """Approximate cosine top-k: multi-table random-hyperplane LSH.
     Each of ``n_tables`` tables buckets on a ``n_planes``-bit sign
     pattern; candidates = pairs sharing any table bucket; exact re-rank
     on candidates. Recall < 1 by design (ANN); at scale this replaces the
-    broadcast cross product with equi-joins on (table, signature)."""
+    broadcast cross product with equi-joins on (table, signature).
+
+    ``dim`` must equal the embedding width (None = probe it from the
+    corpus): a mismatch would NULL every projection (zip_with pads with
+    nulls), collapse all signatures to one bucket and silently degrade
+    to the O(n^2) cross product the LSH exists to avoid (round-3
+    review) — so it is validated, one tiny driver probe."""
+    actual = corpus.select(F.size(F.col(vec_col)).alias("_d")).first()["_d"]
+    if dim is None:
+        dim = int(actual)
+    elif int(actual) != dim:
+        raise ValueError(
+            f"dim={dim} does not match the embedding width {actual}"
+        )
 
     def with_buckets(df, id_alias, emb_alias):
         v = _as_double(F.col(vec_col))

@@ -22,6 +22,22 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _as_stream_dir(source_path: str) -> str:
+    """The streaming file source requires a directory; wrap a single
+    parquet file in a temp dir via symlink (one shared helper — the
+    block was copy-pasted in four entry points, round-3 review)."""
+    if not os.path.isfile(source_path):
+        return source_path
+    d = tempfile.mkdtemp(prefix="kbspark_stream_")
+    os.symlink(os.path.abspath(source_path),
+               os.path.join(d, os.path.basename(source_path)))
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def run_incremental(
     spark: SparkSession,
     source_path: str,
@@ -35,13 +51,7 @@ def run_incremental(
     if schema is None:
         schema = spark.read.parquet(source_path).schema
     name = query_name or f"inc_{uuid.uuid4().hex[:8]}"
-    # the streaming file source requires a directory; wrap a single
-    # parquet file in a temp dir via symlink
-    if os.path.isfile(source_path):
-        d = tempfile.mkdtemp(prefix="kbspark_stream_")
-        os.symlink(os.path.abspath(source_path),
-                   os.path.join(d, os.path.basename(source_path)))
-        source_path = d
+    source_path = _as_stream_dir(source_path)
     stream = (
         spark.readStream.schema(schema).parquet(source_path)
     )
@@ -90,11 +100,7 @@ def streaming_windowed_counts(
 
     schema = spark.read.parquet(source_path).schema
     name = query_name or f"winagg_{uuid.uuid4().hex[:8]}"
-    if os.path.isfile(source_path):
-        d = tempfile.mkdtemp(prefix="kbspark_stream_")
-        os.symlink(os.path.abspath(source_path),
-                   os.path.join(d, os.path.basename(source_path)))
-        source_path = d
+    source_path = _as_stream_dir(source_path)
 
     stream = (
         spark.readStream.schema(schema)
@@ -157,21 +163,18 @@ def streaming_exact_dedup(
 
     schema = spark.read.parquet(source_path).schema
     name = query_name or f"dedup_{uuid.uuid4().hex[:8]}"
-    if os.path.isfile(source_path):
-        d = tempfile.mkdtemp(prefix="kbspark_stream_")
-        os.symlink(os.path.abspath(source_path),
-                   os.path.join(d, os.path.basename(source_path)))
-        source_path = d
+    source_path = _as_stream_dir(source_path)
 
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_path)
     )
+    from kbspark.textops import content_fingerprint
+
     keyed = stream.select(
         F.col(id_col).alias("doc_id"),
-        F.md5(F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")))
-        .alias("fp"),
+        content_fingerprint(text_col).alias("fp"),
     )
 
     def first_wins(key, pdfs, state):
@@ -220,17 +223,18 @@ def stream_to_catalog(
     """Streaming sink into the atomic-manifest catalog (§2.G × §2.A S4):
     every micro-batch appends through ``Catalog.append`` via
     ``foreachBatch``. Spark's foreachBatch contract is at-least-once (a
-    batch can be re-delivered after a restart); the sink dedups on a
-    CONTENT key — the sorted source-file names of the batch
-    (``input_file_name()``) — not the positional batchId: positional ids
-    shift when a restarted source orders files differently (e.g. a new
-    file lands with an older mtime), which would silently drop the new
-    batch and double-commit an old one (round-3 review finding). With
-    the content key, re-delivered files are skipped and genuinely new
-    files always commit — TABLE CONTENTS are exactly-once (asserted in
-    tests, including the shifted-assignment replay). Non-file batches
-    (no input_file_name) fall back to the batchId. On a cluster the
-    identical sink function rides a checkpointLocation + Iceberg.
+    batch can be re-delivered after a restart); the sink dedups PER
+    SOURCE FILE (``input_file_name()``), not on the positional batchId
+    and not on the batch's file set: positional ids shift when a
+    restarted source orders files differently, and batch boundaries
+    shift when a re-delivered file is co-batched with a new one — both
+    would silently drop or double-commit rows (round-3 review
+    findings). Per-file bookkeeping commits exactly the rows of files
+    not yet in the manifest, so TABLE CONTENTS are exactly-once
+    (asserted in tests: whole-stream replay, shifted assignment, and
+    mixed new/old co-batching). Non-file batches fall back to the
+    batchId. On a cluster the identical sink function rides a
+    checkpointLocation + Iceberg.
 
     Processes everything available and returns the committed table."""
     import hashlib
@@ -238,11 +242,7 @@ def stream_to_catalog(
     from pyspark.sql import functions as F
     schema = spark.read.parquet(source_path).schema
     name = query_name or f"sink_{uuid.uuid4().hex[:8]}"
-    if os.path.isfile(source_path):
-        d = tempfile.mkdtemp(prefix="kbspark_stream_")
-        os.symlink(os.path.abspath(source_path),
-                   os.path.join(d, os.path.basename(source_path)))
-        source_path = d
+    source_path = _as_stream_dir(source_path)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -258,21 +258,40 @@ def stream_to_catalog(
             ).distinct().collect()
             if r["_f"]
         )
-        key = (
-            "files:" + hashlib.sha256("\n".join(files).encode()).hexdigest()
-            if files
-            else f"batch:{batch_id}"
-        )
-        committed = {
-            e["meta"].get("stream_key")
-            for e in catalog.snapshots(table)
-        }
-        if key in committed:
-            return  # re-delivered content: already committed
+        if not files:
+            # non-file source: positional id is all we have
+            key = f"batch:{batch_id}"
+            committed_keys = {
+                e["meta"].get("stream_key")
+                for e in catalog.snapshots(table)
+            }
+            if key in committed_keys:
+                return
+            catalog.append(
+                table, batch_df,
+                meta={"stream_key": key, "stream_batch": batch_id,
+                      "stage": f"stream:{name}"},
+            )
+            return
+        # dedup PER FILE, not per file-set: a re-delivered file can be
+        # co-batched with a brand-new one after a restart (batch
+        # boundaries shift), so a set-level key would double-commit the
+        # old file and a positional id would drop the new one — commit
+        # exactly the not-yet-committed files' rows
+        committed_files = set()
+        for e in catalog.snapshots(table):
+            committed_files.update(e["meta"].get("stream_files", []))
+        new_files = [f for f in files if f not in committed_files]
+        if not new_files:
+            return  # every file in this batch is already committed
+        out = batch_df
+        if len(new_files) < len(files):
+            base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+            out = batch_df.filter(base.isin(new_files))
         catalog.append(
-            table, batch_df,
+            table, out,
             meta={
-                "stream_key": key,
+                "stream_files": new_files,
                 "stream_batch": batch_id,
                 "stage": f"stream:{name}",
             },

@@ -21,6 +21,15 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 from kbspark.session import persist_tracked
 
 
+def content_fingerprint(text_col):
+    """Normalized-content fingerprint expression (whitespace-collapse +
+    lowercase + md5) — THE exact-dedup key, shared by the batch dedup
+    (t_exact_dedup / dedup_job) and the streaming stateful dedup so the
+    two can never silently diverge (round-3 review)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
 def words_table(docs: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """(doc_id, _w array) — the whitespace token array every dedup
@@ -97,6 +106,12 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
     session-shared ``corpus.words_from_documents``) so sibling dedup
     families don't re-tokenize the corpus.
     """
+    if n_bands < 1 or n_hashes % n_bands:
+        # rows_per_band = 0 would NULL every band id (non-ANSI division)
+        # and silently return zero pairs (round-3 review)
+        raise ValueError(
+            f"n_bands ({n_bands}) must divide n_hashes ({n_hashes})"
+        )
     rows_per_band = n_hashes // n_bands
     # shingles feed both the signature build and the exact-Jaccard
     # verification — materialize once
@@ -187,10 +202,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     )
     posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_postings is not None:
-        wdf = W.partitionBy("shingle")
-        posts = posts.withColumn("_df", F.count("*").over(wdf)).filter(
-            F.col("_df") <= max_postings
-        ).drop("_df")
+        w_postings = W.partitionBy("shingle")
+        posts = posts.withColumn(
+            "_df", F.count("*").over(w_postings)
+        ).filter(F.col("_df") <= max_postings).drop("_df")
     a = posts.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = posts.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (
@@ -338,6 +353,13 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     approximate for the docs in them (recall<1 there), never wrong."""
     if 64 % n_blocks:
         raise ValueError("n_blocks must divide 64")
+    if n_blocks < 2:
+        # a single 64-bit block key overflows the signed-long conversion
+        # (conv() is unsigned — NULL keys silently drop docs, round-3
+        # review), and pigeonhole blocking needs >= 2 blocks to tolerate
+        # any Hamming distance anyway
+        raise ValueError("n_blocks must be >= 2 (single-block keys "
+                         "overflow long and block nothing)")
     bits = 64 // n_blocks
     sig = simhash64(docs, words=words)
     block_words = F.array(

@@ -112,7 +112,11 @@ def test_redirects2entities_parity(spark, tmp_path):
         .sort_values("page_title")
         .reset_index(drop=True)
     )
-    assert sorted(ours.page_title) == sorted(expected.page_title)
+    # full (page_title, TYPE) parity — keep-first follows the reference's
+    # source-title iteration order, so the surviving TYPE must match too
+    assert list(map(tuple, ours[["page_title", "TYPE"]].values)) == list(
+        map(tuple, expected[["page_title", "TYPE"]].values)
+    )
 
 
 def test_redirect_dict_roundtrip(spark, tmp_path):

@@ -40,3 +40,28 @@ def test_asof_join_edges(spark):
     assert out.loc[101, "value_asof"] == 2.5  # equal ts -> >= match
     assert out.loc[102, "value_asof"] == 2.5  # carried forward
     assert pd.isna(out.loc[103, "value_asof"])  # other user: no rights
+
+
+def test_asof_join_null_value_in_latest_row(spark):
+    """The latest matching right row wins even when its value is NULL —
+    ts_asof and value_asof must come from the SAME row, never spliced
+    from two rows (round-3 review; matches ANSI/DuckDB ASOF)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from kbspark.relops import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"user_id": [1, 1], "ts": [t(1), t(2)], "value": [5.0, None]}
+        )
+    )
+    left = spark.createDataFrame(
+        pd.DataFrame({"user_id": [1], "ts": [t(3)], "event_id": [100]})
+    )
+    row = asof_join(left, right, by="user_id", ts="ts",
+                    value_cols=["value"]).collect()[0]
+    assert row["ts_asof"] == t(2)
+    assert row["value_asof"] is None  # NOT 5.0 from the older row

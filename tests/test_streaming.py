@@ -217,3 +217,47 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
         for r in merged.groupBy("k").agg(F.count("*").alias("n")).collect()
     }
     assert per_key == {0: 4, 1: 4, 2: 4, 9: 4}
+
+
+def test_stream_to_catalog_cobatched_new_and_old_files(spark, tmp_path):
+    """maxFilesPerTrigger=2 after a restart co-batches a re-delivered
+    file with a brand-new one: per-file dedup must commit exactly the
+    new file's rows (a set-level key would double-commit, a positional
+    id would drop the new file — round-3 review)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kbspark.catalog import Catalog
+    from kbspark.streaming import stream_to_catalog
+
+    flat = tmp_path / "flat2"
+    flat.mkdir()
+
+    def add_file(i):
+        import glob
+        import shutil
+
+        d = tmp_path / f"s{i}"
+        spark.createDataFrame(
+            pd.DataFrame({"k": [i] * 3})
+        ).repartition(1).write.parquet(str(d), mode="overwrite")
+        shutil.copy(glob.glob(str(d / "*.parquet"))[0], flat / f"f{i}.parquet")
+
+    for i in range(3):
+        add_file(i)
+    cat = Catalog(spark, str(tmp_path / "wh2"))
+    stream_to_catalog(spark, str(flat), cat, "sink2",
+                      max_files_per_trigger=2)
+    assert cat.row_count("sink2") == 9
+
+    # new file lands; restart re-reads everything with 2-file batches —
+    # old files now co-batch with the new one in arbitrary groupings
+    add_file(7)
+    out = stream_to_catalog(spark, str(flat), cat, "sink2",
+                            max_files_per_trigger=2)
+    assert cat.row_count("sink2") == 12
+    per_key = {
+        r["k"]: r["n"]
+        for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_key == {0: 3, 1: 3, 2: 3, 7: 3}
