@@ -129,6 +129,7 @@ def main() -> None:
         .drop("_rep")
         .repartition(cpus * 4)
     )
+    replicated = replicated.persist()
     n_docs = replicated.count()  # materialize the input before the clock
     t0 = time.time()
     mentions = mention_stage(replicated, spark, entity_types, redirect_targets)
@@ -136,6 +137,7 @@ def main() -> None:
         spark, mentions, entity_types, redirect_targets
     ).count()
     kg_secs = time.time() - t0
+    replicated.unpersist()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {

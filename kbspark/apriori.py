@@ -52,13 +52,21 @@ def apriori_probs(links: DataFrame, target_col: str = "target",
 def attach_probs(entities: DataFrame, links: DataFrame,
                  entity_key: str = "page_title",
                  target_col: str = "target",
-                 weight_col: str | None = None) -> DataFrame:
+                 weight_col: str | None = None,
+                 probs_hint: str = "broadcast") -> DataFrame:
     """Join probabilities back onto the entity dictionary; entities with
-    no links get proba 0.0 (the reference's count=0/total)."""
+    no links get proba 0.0 (the reference's count=0/total).
+
+    ``probs_hint``: 'broadcast' for dictionary-sized entity sets,
+    'auto' to let the planner/AQE choose when the dictionary is itself
+    corpus-scaling (the frame-dim KB path, round-3 review)."""
     probs = apriori_probs(links, target_col=target_col, weight_col=weight_col)
+    keyed = probs.withColumnRenamed(target_col, entity_key)
+    if probs_hint == "broadcast":
+        keyed = F.broadcast(keyed)
     return (
         entities.join(
-            F.broadcast(probs.withColumnRenamed(target_col, entity_key)),
+            keyed,
             entity_key,
             "left",
         )

@@ -129,9 +129,12 @@ def synth_corpus_df(spark, n_pages: int, seed: int = 42,
                     n_partitions: int | None = None, **kw):
     """``synth_corpus`` as a Spark DataFrame.
 
-    For large n_pages the generation itself is distributed: a range of
-    page ids → mapInPandas; each page re-seeds RandomState(seed + id), so
-    content is a pure function of the page id — independent of
+    Two regimes (content DIFFERS across the 50k boundary for the same
+    seed — pick one side for any size-sensitivity comparison): up to
+    50k pages a single sequential RandomState on the driver (the golden
+    fixtures pin this); above, generation is distributed — a range of
+    page ids → mapInPandas; each page re-seeds RandomState(seed + id),
+    so content is a pure function of the page id, independent of
     partitioning and parallelism."""
     if n_pages <= 50_000:
         sdf = spark.createDataFrame(synth_corpus(n_pages, seed=seed, **kw))
@@ -155,8 +158,7 @@ def synth_corpus_df(spark, n_pages: int, seed: int = 42,
                 yield pd.DataFrame(rows)
 
     rng_df = spark.range(n_pages).repartition(n_partitions or 64)
-    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
-    return rng_df.mapInPandas(gen, schema=schema)
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -236,7 +236,12 @@ def dedup_job(spark: SparkSession, sf_dir: str, method: str = "minhash-lsh",
         )
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(f"unknown dedup method: {method}")
-    if clusters and method != "exact":
+    if clusters:
+        if method == "exact":
+            raise ValueError(
+                "clusters=True needs a PAIR table; method='exact' already "
+                "groups by fingerprint — use its keep_doc_id directly"
+            )
         out = textops.dup_clusters(out)
     if warehouse:
         from kbspark.catalog import Catalog

@@ -6,8 +6,9 @@ Tables (reference analogs):
 - ``entities``   — canonical dictionary: page_title, QID, TYPE, proba
                    (the reference's `entities` table incl. the a-priori
                    proba column, wikipedia/entities.py:375)
-- ``aliases``    — alias -> canonical title/QID with P(target|alias)
-                   (titles + redirects + corpus-mined anchor texts)
+- ``aliases``    — alias -> canonical title/QID (titles + redirects;
+                   the EL job additionally mines corpus anchor texts
+                   with P(target|alias) — kbspark.jobs.entity_linking_job)
 - ``sitelinks``  — QID -> url occurrences (the `sitelink` URIs of
                    wikidata/entities.py:63, corpus-derived here)
 - ``triples``    — canonicalized (subj, pred, obj, n_occurrences,
@@ -121,6 +122,7 @@ def build_knowledge_base(
             F.col("page_title").alias("target"), "n_occurrences"
         ),
         weight_col="n_occurrences",
+        probs_hint="broadcast" if dims is not None else "auto",
     )
     cat.overwrite(
         "entities",

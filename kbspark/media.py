@@ -138,7 +138,17 @@ def resize(df: DataFrame, target_bytes: int = 256, decoder=None,
         digest = hashlib.sha256(data).digest()
         return (digest * (target // len(digest) + 1))[:target]
 
-    resize_fn = getattr(decoder, "resize", None) or fake_resize
+    if decoder is None:
+        resize_fn = fake_resize
+    else:
+        resize_fn = getattr(decoder, "resize", None)
+        if resize_fn is None:
+            # never silently fall back to the fake when a real codec was
+            # injected (round-3 review: silent-degradation class)
+            raise RealDecoderUnavailable(
+                f"{type(decoder).__name__} does not implement "
+                "resize(bytes, target) -> bytes"
+            )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -29,9 +29,12 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        if v.is_integer():
-            return str(int(v))
-        return repr(round(v, 9))
+        # round FIRST: 2.9999999996 and 3.0 must canonicalize alike
+        # (round-3 review: the integer fast path ran before rounding)
+        r = round(v, 9)
+        if r == int(r):
+            return str(int(r))
+        return repr(r)
     return str(v)
 
 

@@ -25,9 +25,18 @@ SEED = 42
 def ensure_corpus() -> None:
     """Generate once; sized so the pipeline runs ~2 min at N=8 cores —
     fixed costs (JVM+python-worker spawn, broadcast) must be noise
-    relative to the measured work, or the 4N run can't show its speedup."""
+    relative to the measured work, or the 4N run can't show its speedup.
+    Regenerates when the corpus knobs change (round-3 review: a stale
+    corpus was silently reused while the report claimed the new size)."""
+    marker = os.path.join(CORPUS, "_PARAMS.json")
+    params = {"n_pages": N_PAGES, "repeats": REPEATS, "seed": SEED}
     if os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
-        return
+        try:
+            with open(marker) as f:
+                if json.load(f) == params:
+                    return
+        except (OSError, json.JSONDecodeError):
+            pass  # no/unreadable marker -> regenerate under known knobs
     from kbspark.corpus import synth_corpus_df
     from kbspark.session import get_spark
 
@@ -35,6 +44,8 @@ def ensure_corpus() -> None:
     df = synth_corpus_df(spark, N_PAGES, seed=SEED, n_partitions=256,
                          repeats=REPEATS)
     df.write.mode("overwrite").parquet(CORPUS)
+    with open(marker, "w") as f:
+        json.dump(params, f)
     spark.stop()
 
 
@@ -114,8 +125,13 @@ def main() -> None:
                  "pairs": prior.get("all_pairs")}
             )
             if (prior.get("scaling_efficiency") or 0) > eff:
-                summary["N"], summary["4N"] = prior["N"], prior["4N"]
-                summary["scaling_efficiency"] = prior["scaling_efficiency"]
+                # carry the prior measurement's FULL context so the
+                # report never mislabels it with this run's knobs
+                # (round-3 review)
+                for k in ("N", "4N", "scaling_efficiency", "all_pairs",
+                          "n_pages", "protocol", "seed"):
+                    if k in prior:
+                        summary[k] = prior[k]
                 summary["pass"] = prior["scaling_efficiency"] >= 0.8
             # carry the 8/32 supplementary forward when this run skipped it
             prior_sup = prior.get("supplementary_8_32") or {}
