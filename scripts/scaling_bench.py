@@ -186,7 +186,7 @@ Arrow batch = 1024 rows.
 | 8  | {r8.get('pipeline_secs','-')} | {r8.get('docs_per_sec','-')} |
 | 32 | {r32.get('pipeline_secs','-')} | {r32.get('docs_per_sec','-')} |
 
-8→32 efficiency = {eff_8_32 if eff_8_32 else '-'}. The regex/string
+8→32 efficiency = {round(eff_8_32, 3) if eff_8_32 else '-'}. The regex/string
 extraction workload is memory-bandwidth-bound: measured OUTSIDE Spark
 (pure multiprocessing over the same docs), this box tops out at ~2.6×
 going 8→32 processes (0.64), vs ~3.4× going 4→16 (0.84) — the single
