@@ -788,7 +788,10 @@ def g_stream_watermark(spark, sf_dir):
         "_batch", F.when(straggler, F.lit(2)).otherwise(base)
     )
 
+    import atexit
+
     flat = tempfile.mkdtemp(prefix="kbspark_wmq_")
+    atexit.register(shutil.rmtree, flat, True)
     mtime = _time.time() - 1000
     for k in range(3):
         part_dir = tempfile.mkdtemp(prefix="kbspark_wmp_")

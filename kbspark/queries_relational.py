@@ -628,7 +628,11 @@ def q18_large_volume_customer(spark, sf_dir):
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (
-        SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        -- exact decimal numerator, then ONE double division: identical
+        -- threshold in both engines regardless of summation order
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer WHERE c_acctbal > 0.0)
       AND c_custkey NOT IN (
         SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
     GROUP BY c_nationkey
@@ -641,7 +645,12 @@ def q22_dormant_rich_customers(spark, sf_dir):
     c = spark.table("customer")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.avg("c_acctbal").alias("_avg"))
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("double")
+                / F.count("*")
+            ).alias("_avg")
+        )
     )
     o = (
         spark.table("orders")
@@ -1180,14 +1189,15 @@ def x_grouping_sets(spark, sf_dir):
            CAST(NULL AS VARCHAR), COUNT(*), CAST(NULL AS DOUBLE)
     FROM (
       WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE OR
                          LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       )
       SELECT user_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_id
       FROM gaps
     ) GROUP BY user_id, session_id
@@ -1255,7 +1265,8 @@ def w_windows(spark, sf_dir):
 @register(
     "q_scalar_aggs",
     oracle="""
-    SELECT q6.revenue, q14.promo_revenue FROM (
+    SELECT q6.revenue, ROUND(q14.promo_revenue_raw, 6) AS promo_revenue
+    FROM (
       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
                       CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM lineitem
@@ -1271,7 +1282,7 @@ def w_windows(spark, sf_dir):
                     ELSE CAST(0 AS DECIMAL(18,4)) END)
         / SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
               (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
-          AS promo_revenue
+          AS promo_revenue_raw
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
@@ -1315,9 +1326,9 @@ def q_scalar_aggs(spark, sf_dir):
             & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
         )
         .agg(
-            (F.lit(100.0) * F.sum(promo) / F.sum(rev))
-            .cast("double")
-            .alias("promo_revenue")
+            F.round(
+                (F.lit(100.0) * F.sum(promo) / F.sum(rev)).cast("double"), 6
+            ).alias("promo_revenue")
         )
     )
     return q6.crossJoin(q14)

@@ -16,7 +16,11 @@ from kbspark.contract import register
 _BPE_PATTERN = (
     r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
 )
-_BPE_SQL = _BPE_PATTERN.replace("'", "''").replace("\\", "\\\\")
+# DuckDB single-quoted literals do NOT process backslash escapes — only
+# quotes need doubling; doubling backslashes would hand RE2 a DIFFERENT
+# pattern (\s becomes literal backslash + s; round-3 review, latent
+# because the sf corpora contain no punctuation-adjacent whitespace)
+_BPE_SQL = _BPE_PATTERN.replace("'", "''")
 
 
 @register(

@@ -67,6 +67,30 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return top.select("query_id", "neighbor_id", cosine.alias("cosine"))
 
 
+def _ordered_d2(X, C):
+    """Squared-distance matrix with LEFT-TO-RIGHT per-dimension
+    accumulation, mirroring the SQL oracle's LIST_DOT_PRODUCT fold
+    exactly (x.x - 2 x.c + c.c, each dot folded dim 0..d-1). BLAS matmul
+    / np.sum use different accumulation orders (pairwise/blocked), so a
+    near-equidistant vector could flip clusters between the engines
+    (round-3 review, latent); 64 vectorized adds over the batch keep
+    this cheap."""
+    import numpy as np
+
+    n, d = X.shape
+    k = C.shape[0]
+    xx = np.zeros(n)
+    xc = np.zeros((n, k))
+    cc = np.zeros(k)
+    for j in range(d):
+        xj = X[:, j]
+        cj = C[:, j]
+        xx += xj * xj
+        xc += xj[:, None] * cj[None, :]
+        cc += cj * cj
+    return xx[:, None] - 2 * xc + cc[None, :]
+
+
 def train_ivf_centroids(corpus: DataFrame, n_centroids: int = 8,
                         n_iters: int = 2, id_col: str = "vec_id",
                         vec_col: str = "embedding"):
@@ -127,8 +151,10 @@ def assign_ivf_cluster(df: DataFrame, spark, centroids, vec_col: str = "embeddin
     def nearest(v):
         C = bc.value  # [k, d]
         X = np.array(v.tolist(), dtype="float64")  # [n, d]
-        # squared euclidean: argmin over centroids
-        d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
+        # squared euclidean argmin, fold-order-matched to the SQL oracle;
+        # np.argmin ties resolve to the lowest index = the oracle's
+        # cluster ASC tie-break
+        d2 = _ordered_d2(X, C)
         return pd.Series(d2.argmin(1).astype("int32"))
 
     return df.withColumn(out_col, nearest(F.col(vec_col)))
@@ -166,9 +192,11 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
     def probe_cells(v):
         C = bc.value
         X = np.array(v.tolist(), dtype="float64")
-        d2 = (X * X).sum(1)[:, None] - 2 * X @ C.T + (C * C).sum(1)[None, :]
-        order = np.argsort(d2, axis=1)[:, :n_probes].astype("int32")
-        return pd.Series(list(order))
+        d2 = _ordered_d2(X, C)
+        # stable sort: equal distances keep index order = cluster ASC,
+        # matching the oracle's ROW_NUMBER tie-break
+        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probes]
+        return pd.Series(list(order.astype("int32")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

@@ -33,17 +33,28 @@ def qid_col(title_col: str = "page_title"):
     )
 
 
-def entity_dim_df(spark, entity_types: dict[str, str]) -> DataFrame:
-    """Broadcastable entity dimension from a title->TYPE dict."""
+def _dict_frame(spark, mapping: dict[str, str], key_col: str,
+                value_col: str) -> DataFrame:
+    """dict -> two-column DataFrame with the empty-dict dtype fallback
+    (createDataFrame cannot infer a schema from an empty frame) — one
+    implementation for every dict-shaped dim (round-3 review: the block
+    was copy-pasted three times in this module)."""
     import pandas as pd
 
     pdf = pd.DataFrame(
-        {"page_title": list(entity_types.keys()), "TYPE": list(entity_types.values())}
+        {key_col: list(mapping.keys()), value_col: list(mapping.values())}
     )
     if pdf.empty:
-        pdf = pd.DataFrame({"page_title": pd.Series(dtype="object"),
-                            "TYPE": pd.Series(dtype="object")})
-    return spark.createDataFrame(pdf).withColumn("QID", qid_col())
+        pdf = pd.DataFrame({key_col: pd.Series(dtype="object"),
+                            value_col: pd.Series(dtype="object")})
+    return spark.createDataFrame(pdf)
+
+
+def entity_dim_df(spark, entity_types: dict[str, str]) -> DataFrame:
+    """Broadcastable entity dimension from a title->TYPE dict."""
+    return _dict_frame(spark, entity_types, "page_title", "TYPE").withColumn(
+        "QID", qid_col()
+    )
 
 
 def redirect_alias_frame(spark, dim: DataFrame,
@@ -56,19 +67,10 @@ def redirect_alias_frame(spark, dim: DataFrame,
     KB build in dict and frame variants): pass ``redirect_targets``
     (collected dict, bounded by DIM_COLLECT_CAP) or ``redirect_dim``
     (DataFrame (alias, page_title), the corpus-scaling path)."""
-    import pandas as pd
-
     if redirect_dim is None:
-        pdf = pd.DataFrame(
-            {
-                "alias": list((redirect_targets or {}).keys()),
-                "page_title": list((redirect_targets or {}).values()),
-            }
+        redirect_dim = _dict_frame(
+            spark, redirect_targets or {}, "alias", "page_title"
         )
-        if pdf.empty:
-            pdf = pd.DataFrame({"alias": pd.Series(dtype="object"),
-                                "page_title": pd.Series(dtype="object")})
-        redirect_dim = spark.createDataFrame(pdf)
     out = redirect_dim.join(
         dim.select("page_title", "QID", "TYPE"), "page_title"
     ).select("alias", "page_title", "QID", "TYPE")
@@ -111,18 +113,7 @@ def entity_triples(entity_dim: DataFrame) -> DataFrame:
 
 def redirect_triples(spark, redirect_targets: dict[str, str]) -> DataFrame:
     """(alias, 'redirects_to', target) per redirect edge."""
-    import pandas as pd
-
-    pdf = pd.DataFrame(
-        {
-            "subj": list(redirect_targets.keys()),
-            "obj": list(redirect_targets.values()),
-        }
-    )
-    if pdf.empty:
-        pdf = pd.DataFrame({"subj": pd.Series(dtype="object"),
-                            "obj": pd.Series(dtype="object")})
-    return spark.createDataFrame(pdf).select(
+    return _dict_frame(spark, redirect_targets, "subj", "obj").select(
         "subj",
         F.lit("redirects_to").alias("pred"),
         "obj",
