@@ -627,7 +627,15 @@ def resolve_mentions_frames(raw_mentions, entity_dim, redirect_dim,
     dims ride broadcast joins (dictionary-sized); set False to let the
     planner/AQE pick a shuffle join for dims beyond broadcast budgets —
     either way the semantics are identical and the fact side never
-    collects."""
+    collects.
+
+    CONTRACT: dim keys must be unique (page_title / alias) — the same
+    keep-first guarantee the dict path has by construction
+    (``resolve_title`` docstring). Duplicate dim rows would silently
+    multiply mention rows here; dedupe upstream (``get_redirects`` does)
+    rather than paying a per-mention dedup shuffle on this hot path.
+    ``page_link_maps`` adds its own keep-min guard because a map build
+    hard-fails on duplicate keys."""
     from pyspark.sql import functions as F
 
     return _with_resolved_frames(
