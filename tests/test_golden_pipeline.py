@@ -30,9 +30,12 @@ def oracle_triples(pages: pd.DataFrame, entity_types, redirect_targets):
     for _, row in pages.iterrows():
         parts = tokenize_links(clean(row["text"]), all_entities, redirects)
         for _surface, title, etype in parts:
-            if etype != "O" or (title and title in entity_types):
-                if title in entity_types:
-                    counts[(row["url"], title)] += 1
+            # the outer etype guard was redundant with this membership
+            # check (round-3 test review) — the oracle states the
+            # intended semantics in its simplest form: count resolved
+            # links whose title is a known entity
+            if title in entity_types:
+                counts[(row["url"], title)] += 1
     return counts
 
 

@@ -182,9 +182,11 @@ def test_mined_alias_cap_and_join_fallback(spark):
     total = sum(t + 1 for t in range(20))
     assert abs(capped.proba.max() - 20 / total) < 1e-6
 
-    aliases = capped_aliases = mine_anchor_aliases(
+    # reuse the capped dictionary for the join-strategy checks below
+    # (link_entities defaults wikidata to QID when the column is absent)
+    aliases = mine_anchor_aliases(
         spans, dim, target_col="gt", max_targets_per_surface=3
-    ).withColumn("wikidata", F.col("QID"))
+    )
 
     def run(hint):
         return sorted(

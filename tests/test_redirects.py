@@ -130,3 +130,39 @@ def test_redirect_dict_roundtrip(spark, tmp_path):
     d = redirect_dict(s_redirects)
     assert len(d) == s_redirects.count()
     assert all(v.startswith("Page_") for v in d.values())
+
+
+def test_dup_metric_and_keep_first_on_duplicate_sources(spark):
+    """The fixture's redirects are all unique, so this pins the paths the
+    parity test cannot reach (round-3 test review): a source page with
+    THREE redirect rows must count 2 duplicated rows (the reference's
+    index.duplicated().sum() semantics) and keep exactly one survivor —
+    the engine's documented deterministic choice (min rd_title; the
+    reference keeps its frame-order first row)."""
+    import pandas as pd
+
+    from kbspark.redirects import get_redirects
+
+    entities = pd.DataFrame(
+        {"page_title": ["T1", "T2", "T3", "T9"],
+         "TYPE": ["PER", "LOC", "ORG", "PER"],
+         "QID": ["Q1", "Q2", "Q3", "Q9"]}
+    )
+    # page 5 ('Dup') redirects to three different entity targets
+    redirect = pd.DataFrame(
+        {"rd_from": [5, 5, 5, 6], "rd_title": ["T2", "T1", "T3", "T9"]}
+    )
+    page = pd.DataFrame(
+        {"page_id": [5, 6], "page_title": ["Dup", "Solo"],
+         "page_namespace": [0, 0]}
+    )
+    redirects, dup_metric = get_redirects(
+        spark.createDataFrame(entities),
+        spark.createDataFrame(redirect),
+        spark.createDataFrame(page),
+    )
+    assert dup_metric.collect()[0]["n_duplicated_redirects"] == 2
+    rows = {
+        r["rd_from_title"]: r["rd_title"] for r in redirects.collect()
+    }
+    assert rows == {"Dup": "T1", "Solo": "T9"}  # keep-first = min rd_title

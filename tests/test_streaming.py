@@ -7,6 +7,31 @@ from pyspark.sql import functions as F
 from kbspark.streaming import run_incremental, streaming_exact_dedup
 
 
+_MTIME_BASE = 1_700_000_000.0
+
+
+def write_stream_file(spark, flat_dir, pdf, seq: int):
+    """Write ``pdf`` as one parquet file into the flat source dir with a
+    PINNED mtime (the file source orders micro-batches by mtime — coarse
+    filesystem timestamps would otherwise leave batch order to listing
+    luck; round-3 test review). ``seq`` fixes the batch order."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tdir = tempfile.mkdtemp(dir=str(flat_dir.parent))
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        tdir
+    )
+    dst = flat_dir / f"{seq:03d}.parquet"
+    shutil.copy(glob.glob(os.path.join(tdir, "*.parquet"))[0], dst)
+    t = _MTIME_BASE + 10 * seq
+    os.utime(dst, (t, t))
+    shutil.rmtree(tdir)
+    return dst
+
+
 def test_run_incremental_equals_batch(spark, sf01_dir):
     def agg(df):
         return df.groupBy("event_type").agg(F.count("*").alias("n"))
@@ -27,23 +52,10 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     b = pd.DataFrame(
         {"doc_id": [4, 5], "text": ["GAMMA", "delta"]}
     )  # 4 dups 2 (case-normalized), across the batch boundary
-    src = tmp_path / "docs"
-    spark.createDataFrame(a).coalesce(1).write.mode("overwrite").parquet(
-        str(src / "batch_a")
-    )
-    spark.createDataFrame(b).coalesce(1).write.mode("append").parquet(
-        str(src / "batch_b")
-    )
-    # flatten: the file source needs one dir of files
-    import glob
-    import shutil
-
     flat = tmp_path / "flat"
     flat.mkdir()
-    for i, f in enumerate(
-        sorted(glob.glob(str(src / "batch_*" / "*.parquet")))
-    ):
-        shutil.copy(f, flat / f"{i:03d}.parquet")
+    write_stream_file(spark, flat, a, 0)
+    write_stream_file(spark, flat, b, 1)
 
     out = streaming_exact_dedup(spark, str(flat)).toPandas()
     kept = set(out.doc_id)
@@ -64,17 +76,8 @@ def test_streaming_dedup_state_is_fingerprint_keyed(spark, tmp_path):
     dups = pd.DataFrame({"doc_id": range(100, 150), "text": texts})
     flat = tmp_path / "flat2"
     flat.mkdir()
-    spark.createDataFrame(first).coalesce(1).write.parquet(str(flat / "t"))
-    import glob
-    import shutil
-
-    shutil.copy(glob.glob(str(flat / "t" / "*.parquet"))[0],
-                flat / "000.parquet")
-    shutil.rmtree(flat / "t")
-    spark.createDataFrame(dups).coalesce(1).write.parquet(str(flat / "t"))
-    shutil.copy(glob.glob(str(flat / "t" / "*.parquet"))[0],
-                flat / "001.parquet")
-    shutil.rmtree(flat / "t")
+    write_stream_file(spark, flat, first, 0)
+    write_stream_file(spark, flat, dups, 1)
 
     out, progress = streaming_exact_dedup(
         spark, str(flat), return_progress=True
@@ -95,8 +98,6 @@ def test_watermarked_window_drops_late_and_emits_once(spark, tmp_path):
     the on-time counts, and the still-open tail windows not emitted at
     all (append mode)."""
     import datetime as dt
-    import glob
-    import shutil
 
     from kbspark.streaming import streaming_windowed_counts
 
@@ -109,17 +110,8 @@ def test_watermarked_window_drops_late_and_emits_once(spark, tmp_path):
     ]
     flat = tmp_path / "stream"
     flat.mkdir()
-    import os as _os
-    import time as _time
-
-    base = _time.time() - 1000
     for i, pdf in enumerate(batches):
-        tdir = tmp_path / f"t{i}"
-        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(tdir))
-        dst = flat / f"{i:03d}.parquet"
-        shutil.copy(glob.glob(str(tdir / "*.parquet"))[0], dst)
-        # the file source orders micro-batches by mtime: make it explicit
-        _os.utime(dst, (base + 10 * i, base + 10 * i))
+        write_stream_file(spark, flat, pdf, i)
 
     out, progress = streaming_windowed_counts(
         spark, str(flat), return_progress=True
@@ -149,22 +141,11 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
     from kbspark.catalog import Catalog
     from kbspark.streaming import stream_to_catalog
 
-    src = tmp_path / "src"
-    for i in range(3):
-        pdf = pd.DataFrame({"k": [i] * 4, "v": list(range(4))})
-        spark.createDataFrame(pdf).repartition(1).write.parquet(
-            str(src / f"part{i}"), mode="overwrite"
-        )
-    # flatten: the file source wants one directory of parquet files
-    import glob
-    import shutil
-
     flat = tmp_path / "flat"
     flat.mkdir()
-    for i, f in enumerate(
-        sorted(glob.glob(str(src / "part*" / "*.parquet")))
-    ):
-        shutil.copy(f, flat / f"f{i}.parquet")
+    for i in range(3):
+        pdf = pd.DataFrame({"k": [i] * 4, "v": list(range(4))})
+        write_stream_file(spark, flat, pdf, i)
 
     cat = Catalog(spark, str(tmp_path / "wh"))
     out = stream_to_catalog(
@@ -196,16 +177,14 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
     # longer line up — the content key must still commit exactly the new
     # file's rows and re-commit nothing
     import os
-    import time
 
     pdf = pd.DataFrame({"k": [9] * 4, "v": list(range(4))})
-    spark.createDataFrame(pdf).repartition(1).write.parquet(
-        str(src / "part9"), mode="overwrite"
-    )
-    newf = glob.glob(str(src / "part9" / "*.parquet"))[0]
-    shutil.copy(newf, flat / "a_older.parquet")  # sorts/ages first
-    old_time = time.time() - 9999
-    os.utime(flat / "a_older.parquet", (old_time, old_time))
+    # a NEW file with an OLDER pinned mtime than every committed file
+    dst = write_stream_file(spark, flat, pdf, 0)
+    older = dst.parent / "a_older.parquet"
+    dst.rename(older)
+    t = _MTIME_BASE - 9999
+    os.utime(older, (t, t))
 
     merged = stream_to_catalog(
         spark, str(flat), cat, "events_sink",
@@ -234,14 +213,7 @@ def test_stream_to_catalog_cobatched_new_and_old_files(spark, tmp_path):
     flat.mkdir()
 
     def add_file(i):
-        import glob
-        import shutil
-
-        d = tmp_path / f"s{i}"
-        spark.createDataFrame(
-            pd.DataFrame({"k": [i] * 3})
-        ).repartition(1).write.parquet(str(d), mode="overwrite")
-        shutil.copy(glob.glob(str(d / "*.parquet"))[0], flat / f"f{i}.parquet")
+        write_stream_file(spark, flat, pd.DataFrame({"k": [i] * 3}), i)
 
     for i in range(3):
         add_file(i)

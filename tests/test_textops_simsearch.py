@@ -157,8 +157,14 @@ def test_knn_lsh_recall_vs_bruteforce(spark):
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, recall  # ANN: bucketed candidates, partial recall ok
-    # top-1 planted neighbor must survive bucketing for its own query
-    assert (3, 7) in approx_set or 3 not in set(approx.query_id)
+    # top-1 planted neighbor must survive bucketing for its own query —
+    # NO escape hatch: a planted near-identical vector shares every
+    # hyperplane sign with its query, so query 3 must produce candidates
+    # and (3, 7) must be among them (round-3 test review: the old
+    # 'or 3 not in query ids' clause passed exactly when recall failed
+    # hardest)
+    assert 3 in set(approx.query_id)
+    assert (3, 7) in approx_set
 
 
 def test_knn_ivf_recall_and_planted_neighbor(spark):

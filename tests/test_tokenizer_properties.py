@@ -29,7 +29,10 @@ def test_tokenizer_loses_no_nonspace_characters(text):
     toks = RegexTokenizer(split_camel_case=True).tokenize(text)
     got = "".join(toks)
     want = re.sub(r"\s+", "", text)
-    assert sorted(got) == sorted(want)
+    # strict equality: tokenization is order-preserving, so the
+    # concatenation must reproduce the de-spaced input EXACTLY (a sorted
+    # multiset comparison would mask reordering — round-3 test review)
+    assert got == want
 
 
 @settings(max_examples=300, deadline=None)
