@@ -40,14 +40,20 @@ def reachable(
     N independent closures run as ONE BFS over (group, node) pairs
     (one join per level for all groups together instead of N separate
     fixpoints; the visited anti-join dedups per group)."""
+    from kbspark.session import local_checkpoint_tracked, release_rdd_ids
+
+    spark = edges.sparkSession
     keep = [node, *group_cols]
     # the edge table is joined once PER LEVEL — cache it so a derived
     # edge frame (filters/joins upstream) doesn't re-execute per level
     edges = persist_tracked(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
     )
-    visited = roots.select(*keep).distinct().localCheckpoint()
+    visited, visited_ids = local_checkpoint_tracked(
+        roots.select(*keep).distinct()
+    )
     frontier = visited
+    frontier_ids: list = []  # checkpoint blocks of the CURRENT frontier
 
     exhausted = True
     for i in range(max_iterations):
@@ -57,18 +63,30 @@ def reachable(
             .distinct()
         )
         new = nxt.join(visited, keep, "left_anti")
+        new_ids: list = []
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new = new.localCheckpoint()
+            new, new_ids = local_checkpoint_tracked(new)
         else:
             new = persist_tracked(new)
         if new.isEmpty():
             exhausted = False
+            release_rdd_ids(spark, new_ids)
             break
         # new is distinct and anti-joined against visited, so the union
         # of the two disjoint distinct sets needs no distinct() — one
         # fewer shuffle per BFS level
-        visited = visited.unionByName(new).localCheckpoint()
-        frontier = new
+        next_visited, next_ids = local_checkpoint_tracked(
+            visited.unionByName(new)
+        )
+        # per-level checkpoint blocks no longer feed anything once the
+        # new visited is materialized (ADVICE r03) — release the old
+        # visited and the previous frontier so cached state stays O(|V|)
+        release_rdd_ids(spark, visited_ids + frontier_ids)
+        visited, visited_ids = next_visited, next_ids
+        frontier, frontier_ids = new, new_ids
+    # the last frontier's rows already live inside the final visited
+    # checkpoint — its own blocks can go
+    release_rdd_ids(spark, frontier_ids)
     if exhausted:
         # returning the partial set would silently drop everything below
         # level max_iterations (round-3 review) — the reference recurses

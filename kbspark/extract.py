@@ -250,7 +250,13 @@ class RegexTokenizer:
                            |August|September|Oktober|November|Dezember
                            |Jahrhundert|Jh|Klasse|Platz|Auflage|Liga
                            |Sinfonie|Armee|Bezirk|Arrondissement)(?!\w))))?)
-        | (?P<emoticon>[:;=8][-o^']?[()\[\]DdPp/\\|]+(?!\w))
+        # CMC action words (*lach*, *freu*) and the emoticon inventory of
+        # SoMaJo's de_CMC class (EmpiriST): classic western smileys with
+        # optional nose, kiss-mouth '*', letter smileys (xD/XD), ^^, <3,
+        # \o/ and O_o-style faces
+        | (?P<action>\*[^\W\d_]\w*\*)
+        | (?P<emoticon>[:;=8xX][-o^']?[()\[\]DdPp/\\|*]+(?!\w)
+                      |(?<![\w])(?:\^\^+|<3+|</3|\\o/|[oO0][._][oO0])(?!\w))
         | (?P<punct_run>\.{2,}|…|[!?][!?.]*)
         | (?P<word>\w+(?:[-'’]\w+)*)
         | (?P<punct>[^\w\s])

@@ -100,6 +100,10 @@ def tagged_table(spark: SparkSession, sf_dir: str,
     pin_session_conf(spark)
     key = (spark.sparkContext.applicationId, sf_dir, dim_collect_cap)
     if use_cache and key in _TAGGED_CACHE:
+        # refresh recency (ADVICE r03): eviction pops the FRONT of the
+        # dict, so a hit must move its key to the back for true LRU —
+        # otherwise alternating three keys evicts the hottest table
+        _TAGGED_CACHE[key] = _TAGGED_CACHE.pop(key)
         return _TAGGED_CACHE[key]
     pages = pages_from_documents(spark, sf_dir)
     kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}

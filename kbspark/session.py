@@ -88,6 +88,72 @@ def release_tracked() -> int:
     return n
 
 
+def local_checkpoint_tracked(df):
+    """``df.localCheckpoint()`` plus the ids of the RDD cache blocks the
+    checkpoint pinned, as ``(checkpointed_df, [rdd_id, ...])``.
+
+    Spark has no public unpersist for (local) checkpoints, so an
+    iterative fixpoint that checkpoints every round accumulates
+    O(rounds × |V|) cached blocks for its whole lifetime (ADVICE r03).
+    Capturing the delta of ``getPersistentRDDs`` around the (eager)
+    checkpoint lets the loop release the PREVIOUS round's blocks via
+    ``release_rdd_ids`` once the new round is materialized."""
+    sc = df.sparkSession.sparkContext
+    jmap = sc._jsc.getPersistentRDDs()
+    before = set(jmap.keySet().toArray())
+    out = df.localCheckpoint()
+    after = sc._jsc.getPersistentRDDs().keySet().toArray()
+    return out, [i for i in after if i not in before]
+
+
+def release_rdd_ids(spark, ids) -> int:
+    """Best-effort unpersist of checkpoint-cached RDD blocks by id
+    (companion of ``local_checkpoint_tracked``); returns how many blocks
+    were released. Never raises — a missing id just means the blocks are
+    already gone."""
+    n = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for i in ids:
+            r = jmap.get(i)
+            if r is not None:
+                r.unpersist(False)
+                n += 1
+    except Exception:
+        pass
+    return n
+
+
+def reset_memos() -> int:
+    """Clear every cross-query memo (jobs._TAGGED_CACHE, corpus._DIM_CACHE,
+    corpus._WORDS_CACHE) plus tracked persists, unpersisting cached tables.
+
+    Benchmarks call this between repeated runs of one query so best-of-N
+    separates co-tenant noise from plan regressions WITHOUT aliasing warm
+    memo hits into the "first run" number (VERDICT r03 #1). Everything
+    memoized is deterministic, so clearing is never a correctness event.
+    Returns how many persisted tables were released."""
+    from kbspark import corpus, jobs
+
+    n = 0
+    for df in list(jobs._TAGGED_CACHE.values()):
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    jobs._TAGGED_CACHE.clear()
+    for df in list(corpus._WORDS_CACHE.values()):
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    corpus._WORDS_CACHE.clear()
+    corpus._DIM_CACHE.clear()
+    return n + release_tracked()
+
+
 def pin_session_conf(spark: SparkSession) -> SparkSession:
     """Pin runtime confs that correctness depends on, on a session we did
     not create (the driver hands us one in ``__spark_entry__.entry``).

@@ -268,7 +268,15 @@ def knn_lsh(queries: DataFrame, corpus: DataFrame, k: int = 5,
     nulls), collapse all signatures to one bucket and silently degrade
     to the O(n^2) cross product the LSH exists to avoid (round-3
     review) — so it is validated, one tiny driver probe."""
-    actual = corpus.select(F.size(F.col(vec_col)).alias("_d")).first()["_d"]
+    probe = corpus.select(F.size(F.col(vec_col)).alias("_d")).first()
+    if probe is None or probe["_d"] is None:
+        # empty corpus / null embedding: fail with a real message instead
+        # of an opaque 'NoneType is not subscriptable' (ADVICE r03)
+        raise ValueError(
+            "knn_lsh: corpus is empty (or its first embedding is NULL) — "
+            "cannot validate the embedding width"
+        )
+    actual = probe["_d"]
     if dim is None:
         dim = int(actual)
     elif int(actual) != dim:

