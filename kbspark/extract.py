@@ -208,7 +208,8 @@ _ABBREVIATIONS = (
     "z.b. d.h. u.a. o.ä. u.ä. i.d.r. usw. usf. bzw. ca. vgl. inkl. zzgl. "
     "evtl. ggf. dr. prof. nr. str. hrsg. abs. abb. bd. jh. kap. min. max. "
     "mind. sog. geb. tel. s. etc. e.g. i.e. vs. mr. mrs. ms. no. vol. st. "
-    "jr. sr. approx. dept. fig. al."
+    "jr. sr. approx. dept. fig. al. fa. co. gegr. ehem. bzgl. o.g. z.t. "
+    "u.v.m. gebr. betr. zit. ff."
 ).split()
 
 
@@ -233,11 +234,24 @@ class RegexTokenizer:
 
     _TOKEN = re.compile(
         r"""
-          (?P<url>https?://[^\s<>"']+|www\.[^\s<>"']+)
+          # sentence-final punctuation is never part of the URL (SoMaJo
+          # detaches it): the last URL char must be non-terminal
+          (?P<url>(?:https?://|www\.)[^\s<>"']*[^\s<>"'.,;:!?])
         | (?P<email>[\w.+-]+@[\w-]+(?:\.[\w-]+)+)
         | (?P<abbrev>(?<![\w.])(?:%s)(?!\w))
+          # street-name suffix abbreviation: Hauptstr., Bahnhofstr. —
+          # SoMaJo's list carries -str. as a productive suffix class
+        | (?P<strabbr>(?<![\w.])\w+str\.(?!\w))
         | (?P<cmc>(?<![\w])[#@]\w+)
         | (?P<time>\d{1,2}:\d{2}(?::\d{2})?)
+        # CMC action words (*lach*, *freu*) and the emoticon inventory of
+        # SoMaJo's de_CMC class (EmpiriST): classic western smileys with
+        # optional nose, kiss-mouth '*', letter smileys (xD/XD), ^^, <3,
+        # \o/ and O_o-style faces. Before <number> so '8-)' reads as an
+        # emoticon, not the digit 8.
+        | (?P<action>\*[^\W\d_]\w*\*)
+        | (?P<emoticon>[:;=8xX][-o^']?[()\[\]DdPp/\\|*]+(?!\w)
+                      |(?<![\w])(?:\^\^+|<3+|</3|\\o/|[oO0][._][oO0])(?!\w))
         # ordinal period absorbed ONLY before a continuation — lowercase
         # word/digit or a known ordinal-follower ('3. Januar') — so a
         # sentence-final number ('endete 1945. Danach ...') leaves the
@@ -249,14 +263,12 @@ class RegexTokenizer:
                         |(?:Januar|Februar|März|April|Mai|Juni|Juli
                            |August|September|Oktober|November|Dezember
                            |Jahrhundert|Jh|Klasse|Platz|Auflage|Liga
-                           |Sinfonie|Armee|Bezirk|Arrondissement)(?!\w))))?)
-        # CMC action words (*lach*, *freu*) and the emoticon inventory of
-        # SoMaJo's de_CMC class (EmpiriST): classic western smileys with
-        # optional nose, kiss-mouth '*', letter smileys (xD/XD), ^^, <3,
-        # \o/ and O_o-style faces
-        | (?P<action>\*[^\W\d_]\w*\*)
-        | (?P<emoticon>[:;=8xX][-o^']?[()\[\]DdPp/\\|*]+(?!\w)
-                      |(?<![\w])(?:\^\^+|<3+|</3|\\o/|[oO0][._][oO0])(?!\w))
+                           |Sinfonie|Armee|Bezirk|Arrondissement
+                           |Versuch|Bundesliga|Weltkrieg|Runde|Kapitel
+                           |Band|Akt|Halbzeit|Spieltag|Staffel|Folge
+                           |Etage|Stock|Mal|Geburtstag|Jahrestag
+                           |Wahlgang|Sitzung|Lebensjahr)(?!\w))))?)
+        | (?P<degree>°[CF]?(?![\w]))
         | (?P<punct_run>\.{2,}|…|[!?][!?.]*)
         | (?P<word>\w+(?:[-'’]\w+)*)
         | (?P<punct>[^\w\s])
@@ -330,7 +342,9 @@ class RegexSentenceSplitter:
     attached to the ending sentence, as SoMaJo does."""
 
     _TERMINAL = re.compile(r"^[.!?…]+$")
-    _TRAILER = frozenset({'"', "'", "”", "’", "«", "»", ")", "]", "}"})
+    _TRAILER = frozenset(
+        {'"', "'", "”", "’", "«", "»", ")", "]", "}", "“", "‘"}
+    )  # "“"/"‘" close German „…“-style quotes
 
     def split(self, tokens: list[str]) -> list[list[str]]:
         sentences: list[list[str]] = []
