@@ -150,6 +150,10 @@ _SHINGLES_DUCK = """
              STRING_AGG(minhash, '|' ORDER BY h) AS band_key
       FROM hashed GROUP BY doc_id, h // 4
     ),
+    bc AS (
+      SELECT band_id, band_key, COUNT(*) AS n
+      FROM bands GROUP BY 1, 2
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -163,21 +167,87 @@ _SHINGLES_DUCK = """
       FROM pairs p
       JOIN sh sa ON sa.doc_id = p.doc_a
       JOIN sh sb ON sb.doc_id = p.doc_b
+    ),
+    -- capped replay: identical pipeline with over-cap buckets dropped
+    -- BEFORE the candidate join (models textops' max_bucket exactly)
+    bands_c AS (
+      SELECT b.doc_id, b.band_id, b.band_key
+      FROM bands b JOIN bc USING (band_id, band_key)
+      WHERE bc.n <= 2
+    ),
+    pairs_c AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_c a JOIN bands_c b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    jac_c AS (
+      SELECT p.doc_a, p.doc_b,
+             ROUND(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) * 1.0 /
+                   LEN(LIST_DISTINCT(sa.shingles || sb.shingles)), 6) AS jaccard
+      FROM pairs_c p
+      JOIN sh sa ON sa.doc_id = p.doc_a
+      JOIN sh sb ON sb.doc_id = p.doc_b
     )
-    SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+    SELECT 'plain' AS op, doc_a, doc_b, jaccard,
+           CAST(NULL AS BIGINT) AS n_dropped
+    FROM jac WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT 'capped' AS op, doc_a, doc_b, jaccard,
+           CAST(NULL AS BIGINT) AS n_dropped
+    FROM jac_c WHERE jaccard >= 0.5
+    UNION ALL
+    SELECT 'dropped' AS op, CAST(NULL AS BIGINT) AS doc_a,
+           CAST(NULL AS BIGINT) AS doc_b, CAST(NULL AS DOUBLE) AS jaccard,
+           CAST((SELECT COALESCE(SUM(n), 0) FROM bc WHERE n > 2) AS BIGINT)
+             AS n_dropped
     """,
 )
 def t_lsh_near_dup_pairs(spark, sf_dir):
     """MinHash-LSH near-duplicate pairs: band the 8-value signature into
     2 bands of 4, bucket-join on band key (candidate pairs only — never
     the O(n^2) cross join), then verify candidates with exact shingle
-    Jaccard >= 0.5."""
-    from kbspark.corpus import words_from_documents
-    from kbspark.textops import lsh_near_dup_pairs
+    Jaccard >= 0.5.
 
-    return lsh_near_dup_pairs(
-        spark.table("documents"), n_hashes=8, n_bands=2, threshold=0.5,
-        words=words_from_documents(spark, sf_dir),
+    Compound entry (VERDICT r03 #3 — cap-tripping correctness): 'plain'
+    rows are the uncapped pairs; 'capped' rows rerun the pipeline with
+    ``max_bucket=2``, low enough that real buckets at sf0.01 are dropped
+    (two size-3 buckets exist); the 'dropped' row carries the number of
+    band postings the cap removed, so the hash match proves the
+    degenerate-bucket drop logic fired AND produced exactly the
+    cap-modeling oracle's pair set."""
+    from kbspark.corpus import words_from_documents
+    from kbspark.textops import lsh_band_table, lsh_near_dup_pairs
+
+    words = words_from_documents(spark, sf_dir)
+    docs = spark.table("documents")
+    plain = lsh_near_dup_pairs(
+        docs, n_hashes=8, n_bands=2, threshold=0.5, words=words
+    )
+    capped = lsh_near_dup_pairs(
+        docs, n_hashes=8, n_bands=2, threshold=0.5, max_bucket=2,
+        words=words,
+    )
+    bands = lsh_band_table(docs, n_hashes=8, n_bands=2, words=words)
+    dropped = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > 2)
+        .agg(F.coalesce(F.sum("_bn"), F.lit(0)).alias("n_dropped"))
+        .select(
+            F.lit("dropped").alias("op"),
+            F.lit(None).cast("long").alias("doc_a"),
+            F.lit(None).cast("long").alias("doc_b"),
+            F.lit(None).cast("double").alias("jaccard"),
+            F.col("n_dropped").cast("long"),
+        )
+    )
+    tag = lambda df, op: df.select(  # noqa: E731
+        F.lit(op).alias("op"), "doc_a", "doc_b", "jaccard",
+        F.lit(None).cast("long").alias("n_dropped"),
+    )
+    return tag(plain, "plain").unionByName(tag(capped, "capped")).unionByName(
+        dropped
     )
 
 

@@ -89,6 +89,51 @@ def _minhash_from_shingles(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     )
 
 
+def lsh_band_table(docs: DataFrame | None = None, n_hashes: int = 8,
+                   n_bands: int = 2, shingle_n: int = 3,
+                   words: DataFrame | None = None,
+                   shingles_df: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band_keys array, band_id, band_key) — the LSH bucket
+    table ``lsh_near_dup_pairs`` joins on, exposed so callers (the
+    capped-dedup contract entry, diagnostics) can inspect bucket sizes.
+
+    Built with ONE doc-keyed aggregation: all n_bands keys come out of a
+    single ``collect_list`` per document (the per-band groupBy it
+    replaces shuffled the same rows on a wider key), and the full
+    ``band_keys`` array rides along for the first-eligible-band rule."""
+    if n_bands < 1 or n_hashes % n_bands:
+        # rows_per_band = 0 would NULL every band id (non-ANSI division)
+        # and silently return zero pairs (round-3 review)
+        raise ValueError(
+            f"n_bands ({n_bands}) must divide n_hashes ({n_hashes})"
+        )
+    rows_per_band = n_hashes // n_bands
+    if shingles_df is None:
+        wdf = words if words is not None else words_table(docs)
+        shingles_df = shingles_from_words(wdf, n=shingle_n)
+    sig = _minhash_from_shingles(shingles_df, n_hashes=n_hashes)
+    packed = sig.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("band", "minhash"))).alias("_bm")
+    )
+    keys = F.array(
+        *[
+            F.array_join(
+                F.transform(
+                    F.slice("_bm", i * rows_per_band + 1, rows_per_band),
+                    lambda x: x["minhash"],
+                ),
+                "|",
+            )
+            for i in range(n_bands)
+        ]
+    )
+    return packed.select("doc_id", keys.alias("band_keys")).select(
+        "doc_id",
+        "band_keys",
+        F.posexplode("band_keys").alias("band_id", "band_key"),
+    )
+
+
 def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
                        threshold: float = 0.5, shingle_n: int = 3,
                        max_bucket: int | None = None,
@@ -100,56 +145,76 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
 
     ``max_bucket`` (scale knob): drop LSH buckets larger than this before
     the self-join — at web scale a boilerplate bucket with 10^6 members
-    would otherwise create 10^12 candidate pairs.
+    would otherwise create 10^12 candidate pairs. Implemented like the
+    SimHash cap: a grouped over-cap bucket table anti-joined against the
+    band rows (never a full window sort of the band table).
+
+    Candidate dedup is shuffle-free (same rule as
+    ``simhash_near_dups``): a pair sharing several band buckets is
+    emitted only from its first eligible band, so no cross-band
+    ``distinct`` shuffle of the candidate set — each surviving join row
+    IS a unique pair, and the Jaccard verify runs exactly once per pair.
 
     ``words``: optional pre-tokenized (doc_id, _w) frame (e.g. the
     session-shared ``corpus.words_from_documents``) so sibling dedup
     families don't re-tokenize the corpus.
     """
-    if n_bands < 1 or n_hashes % n_bands:
-        # rows_per_band = 0 would NULL every band id (non-ANSI division)
-        # and silently return zero pairs (round-3 review)
-        raise ValueError(
-            f"n_bands ({n_bands}) must divide n_hashes ({n_hashes})"
-        )
-    rows_per_band = n_hashes // n_bands
     # shingles feed both the signature build and the exact-Jaccard
     # verification — materialize once
     wdf = words if words is not None else words_table(docs)
     sh = persist_tracked(shingles_from_words(wdf, n=shingle_n))
-    sig = _minhash_from_shingles(sh, n_hashes=n_hashes)
-    bands = (
-        sig.withColumn("band_id", (F.col("band") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("band", "minhash"))),
-                    lambda x: x["minhash"],
-                ),
-                "|",
-            ).alias("band_key")
-        )
+    bands = lsh_band_table(
+        n_hashes=n_hashes, n_bands=n_bands, shingles_df=sh
     )
+    bands = persist_tracked(bands)
     if max_bucket is not None:
-        wcnt = W.partitionBy("band_id", "band_key")
-        bands = bands.withColumn("_bn", F.count("*").over(wcnt)).filter(
-            F.col("_bn") <= max_bucket
-        ).drop("_bn")
+        capped = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_bucket)
+            .drop("_bn")
+        )
+        capped = persist_tracked(capped)
+        capped_of_doc = (
+            bands.join(capped, ["band_id", "band_key"])
+            .groupBy("doc_id")
+            .agg(F.collect_set("band_id").alias("_capped"))
+        )
+        bands = (
+            bands.join(capped, ["band_id", "band_key"], "left_anti")
+            .join(capped_of_doc, "doc_id", "left")
+            .withColumn(
+                "_capped",
+                F.coalesce(F.col("_capped"), F.array().cast("array<int>")),
+            )
+        )
+    else:
+        bands = bands.withColumn("_capped", F.array().cast("array<int>"))
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("band_keys").alias("_keys_a"),
+        F.col("_capped").alias("_capped_a"), "band_id", "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band_keys").alias("_keys_b"),
+        "band_id", "band_key",
+    )
+    first_eligible = F.element_at(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda j: (
+                F.element_at(F.col("_keys_a"), j + F.lit(1))
+                == F.element_at(F.col("_keys_b"), j + F.lit(1))
+            )
+            & ~F.array_contains(F.col("_capped_a"), j),
+        ),
+        1,
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(first_eligible == F.col("band_id"))
+        .select("doc_a", "doc_b")
     )
 
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
