@@ -49,6 +49,34 @@ def test_kb_build_tables_and_resume(spark, sf001_dir, tmp_path):
     assert res3["stage"]["ran"] == []
 
 
+def test_kb_build_frame_path_resume(spark, sf001_dir, tmp_path):
+    """Exact resume on the 100-TB frame-dim path (VERDICT r03 #7):
+    ``dim_collect_cap=0`` forces DataFrame dims end to end — kill after
+    the first bucket commit, resume, and the final triples table must be
+    value-identical to the dict path's."""
+    wh_dict = str(tmp_path / "dict")
+    build_knowledge_base(spark, sf001_dir, wh_dict, n_buckets=8)
+    cols = ["subj", "pred", "obj", "n_occurrences"]
+    expected = sorted(
+        map(tuple, Catalog(spark, wh_dict).read("triples")
+            .select(*cols).collect())
+    )
+
+    wh = str(tmp_path / "frames")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        build_knowledge_base(spark, sf001_dir, wh, n_buckets=8,
+                             fail_after_commits=1, dim_collect_cap=0)
+    res = build_knowledge_base(spark, sf001_dir, wh, n_buckets=8,
+                               dim_collect_cap=0)
+    assert res["stage"]["skipped"], "resume should skip committed buckets"
+    assert res["stage"]["ran"], "resume should run the remaining buckets"
+    got = sorted(
+        map(tuple, Catalog(spark, wh).read("triples")
+            .select(*cols).collect())
+    )
+    assert got == expected
+
+
 def test_dedup_job_families(spark, tmp_path, sf001_dir):
     """CLI-level dedup over the documents table: every family runs end
     to end and commits through the catalog; lsh and ngram agree exactly
