@@ -244,8 +244,24 @@ def link_entities(
     def sized(df):
         return F.broadcast(df) if aliases_hint == "broadcast" else df
 
+    # profiles are keyed by page_title like the alias dictionary — join
+    # them into the DICTIONARY once (dict-sized × profile) instead of a
+    # second join over the full candidate table (round-4 el_stages.link
+    # profiling: that join was a whole extra pass over the big side)
+    if profiles is not None:
+        aliases = aliases.join(profiles, "page_title", "left")
+
     norm_surface = F.replace(F.col("surface"), F.lit(" "), F.lit("_"))
-    cand = mentions.withColumn("_alias", norm_surface).join(
+    probe = mentions.withColumn("_alias", norm_surface)
+    if profiles is not None:
+        # tokenize each mention's sentence ONCE on the probe side — as a
+        # post-join expression it would re-split the context string per
+        # candidate row (~k× redundant work)
+        probe = probe.withColumn(
+            "_ctx",
+            F.array_distinct(F.split(F.lower(F.col("context")), r"[\s_]+")),
+        )
+    cand = probe.join(
         sized(aliases.withColumnRenamed("alias", "_alias")),
         "_alias",
         "left",
@@ -253,8 +269,7 @@ def link_entities(
 
     matched_flag = F.col("page_title").isNotNull()
     if profiles is not None:
-        cand = cand.join(sized(profiles), "page_title", "left")
-        ctx = F.array_distinct(F.split(F.lower(F.col("context")), r"[\s_]+"))
+        ctx = F.col("_ctx")
         prof = F.coalesce(F.col("profile"), F.array())
         inter = F.size(F.array_intersect(ctx, prof)).cast("double")
         denom = F.greatest(F.least(F.size(ctx), F.size(prof)), F.lit(1)).cast(
