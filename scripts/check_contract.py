@@ -4,11 +4,18 @@ __spark_entry__.queries() entry on Spark and its oracle_sql() on DuckDB
 at sf0.01, compare row count + column names + order-insensitive values.
 
 Usage: python scripts/check_contract.py [query_name ...]
+
+$CONTRACT_SF_DIR overrides the data directory — e.g.
+CONTRACT_SF_DIR=/root/testdata/sf0.1 spot-checks entries at 10x the
+driver's oracle scale (VERDICT r03 "correctness is only ever checked at
+sf0.01"); the pair-emitting entries are the interesting ones there
+(bucket statistics change with scale).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -16,7 +23,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents "
     "embeddings"
