@@ -54,6 +54,15 @@ def reachable(
     )
     frontier = visited
     frontier_ids: list = []  # checkpoint blocks of the CURRENT frontier
+    #: checkpoint blocks from earlier levels that merely-PERSISTED
+    #: frontiers may still reference through their lineage. Releasing a
+    #: localCheckpoint a live plan depends on would turn a recoverable
+    #: cache miss into a fatal 'checkpoint block not found' on a real
+    #: cluster (round-4 review) — so release happens only at checkpoint
+    #: levels, where the freshly checkpointed frontier + visited
+    #: truncate every older lineage. Cached state is bounded at
+    #: O(checkpoint_every × |frontier|) instead of O(levels × |V|).
+    pending_release: list = []
 
     exhausted = True
     for i in range(max_iterations):
@@ -64,7 +73,8 @@ def reachable(
         )
         new = nxt.join(visited, keep, "left_anti")
         new_ids: list = []
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+        checkpointed = bool(checkpoint_every) and (i + 1) % checkpoint_every == 0
+        if checkpointed:
             new, new_ids = local_checkpoint_tracked(new)
         else:
             new = persist_tracked(new)
@@ -78,15 +88,17 @@ def reachable(
         next_visited, next_ids = local_checkpoint_tracked(
             visited.unionByName(new)
         )
-        # per-level checkpoint blocks no longer feed anything once the
-        # new visited is materialized (ADVICE r03) — release the old
-        # visited and the previous frontier so cached state stays O(|V|)
-        release_rdd_ids(spark, visited_ids + frontier_ids)
+        pending_release += visited_ids + frontier_ids
         visited, visited_ids = next_visited, next_ids
         frontier, frontier_ids = new, new_ids
-    # the last frontier's rows already live inside the final visited
-    # checkpoint — its own blocks can go
-    release_rdd_ids(spark, frontier_ids)
+        if checkpointed:
+            # frontier AND visited are both checkpointed now — nothing
+            # live references the accumulated older blocks (ADVICE r03)
+            release_rdd_ids(spark, pending_release)
+            pending_release = []
+    # visited is checkpointed every level; once the loop ends nothing
+    # references the remaining accumulated blocks or the last frontier
+    release_rdd_ids(spark, pending_release + frontier_ids)
     if exhausted:
         # returning the partial set would silently drop everything below
         # level max_iterations (round-3 review) — the reference recurses

@@ -246,12 +246,28 @@ class RegexTokenizer:
         | (?P<time>\d{1,2}:\d{2}(?::\d{2})?)
         # CMC action words (*lach*, *freu*) and the emoticon inventory of
         # SoMaJo's de_CMC class (EmpiriST): classic western smileys with
-        # optional nose, kiss-mouth '*', letter smileys (xD/XD), ^^, <3,
-        # \o/ and O_o-style faces. Before <number> so '8-)' reads as an
-        # emoticon, not the digit 8.
+        # optional nose, kiss-mouth '*', letter smileys (xD/XD — letter
+        # MOUTHS only, and boundary-guarded: 'f(x)' must not read 'x)'
+        # as an emoticon), ^^, <3, \o/ and O_o-style faces. Before
+        # <number> so '8-)' reads as an emoticon, not the digit 8.
         | (?P<action>\*[^\W\d_]\w*\*)
-        | (?P<emoticon>[:;=8xX][-o^']?[()\[\]DdPp/\\|*]+(?!\w)
+        | (?P<emoticon>[:;=8][-o^']?[()\[\]DdPp/\\|*]+(?!\w)
+                      |(?<![\w])[xX][DdPp]+(?!\w)
                       |(?<![\w])(?:\^\^+|<3+|</3|\\o/|[oO0][._][oO0])(?!\w))
+        # short ordinal incl. its period before a known capitalized
+        # follower ('3. Januar', '2. Weltkrieg'): 1-3 digits ONLY — a
+        # 4-digit year before a sentence-opening noun ('endete 1945.
+        # Mal sehen.') is a sentence end, never an ordinal (round-4
+        # review)
+        | (?P<ordinal>(?<![\d.,])\d{1,3}\.
+            (?=\s*(?-i:(?:Januar|Februar|März|April|Mai|Juni|Juli
+                         |August|September|Oktober|November|Dezember
+                         |Jahrhundert|Jh|Klasse|Platz|Auflage|Liga
+                         |Sinfonie|Armee|Bezirk|Arrondissement
+                         |Versuch|Bundesliga|Weltkrieg|Runde|Kapitel
+                         |Band|Akt|Halbzeit|Spieltag|Staffel|Folge
+                         |Etage|Stock|Mal|Geburtstag|Jahrestag
+                         |Wahlgang|Sitzung|Lebensjahr)(?!\w))))
         # ordinal period absorbed ONLY before a continuation — lowercase
         # word/digit or a known ordinal-follower ('3. Januar') — so a
         # sentence-final number ('endete 1945. Danach ...') leaves the
@@ -259,15 +275,7 @@ class RegexTokenizer:
         # SoMaJo does (ADVICE r02). (?-i: = the continuation check is
         # case-SENSITIVE inside this IGNORECASE regex.
         | (?P<number>\d+(?:[.,]\d+)*
-            (?:\.(?=\s*(?-i:[a-zäöüß0-9]
-                        |(?:Januar|Februar|März|April|Mai|Juni|Juli
-                           |August|September|Oktober|November|Dezember
-                           |Jahrhundert|Jh|Klasse|Platz|Auflage|Liga
-                           |Sinfonie|Armee|Bezirk|Arrondissement
-                           |Versuch|Bundesliga|Weltkrieg|Runde|Kapitel
-                           |Band|Akt|Halbzeit|Spieltag|Staffel|Folge
-                           |Etage|Stock|Mal|Geburtstag|Jahrestag
-                           |Wahlgang|Sitzung|Lebensjahr)(?!\w))))?)
+            (?:\.(?=\s*(?-i:[a-zäöüß0-9])))?)
         | (?P<degree>°[CF]?(?![\w]))
         | (?P<punct_run>\.{2,}|…|[!?][!?.]*)
         | (?P<word>\w+(?:[-'’]\w+)*)
@@ -342,16 +350,25 @@ class RegexSentenceSplitter:
     attached to the ending sentence, as SoMaJo does."""
 
     _TERMINAL = re.compile(r"^[.!?…]+$")
-    _TRAILER = frozenset(
-        {'"', "'", "”", "’", "«", "»", ")", "]", "}", "“", "‘"}
-    )  # "“"/"‘" close German „…“-style quotes
+    _TRAILER = frozenset({'"', "'", "”", "’", "«", "»", ")", "]", "}"})
+    #: "“"/"‘" CLOSE German „…“ quotes but OPEN English/French ones —
+    #: they trail the previous sentence only when that sentence holds an
+    #: unmatched German opener (round-4 review: unconditional trailing
+    #: glued the opening quote of 'She left. “Hello,” …' to sentence 1)
+    _DE_QUOTE = {"“": "„", "‘": "‚"}
+
+    def _trails(self, tok: str, prev: list[str]) -> bool:
+        if tok in self._TRAILER:
+            return True
+        opener = self._DE_QUOTE.get(tok)
+        return opener is not None and prev.count(opener) > prev.count(tok)
 
     def split(self, tokens: list[str]) -> list[list[str]]:
         sentences: list[list[str]] = []
         current: list[str] = []
         closing = False  # just saw a terminal; absorb trailing quotes
         for tok in tokens:
-            if closing and tok in self._TRAILER:
+            if closing and self._trails(tok, sentences[-1]):
                 sentences[-1].append(tok)
                 continue
             closing = False

@@ -304,7 +304,8 @@ def stream_to_catalog(
             return  # every file in this batch is already committed
         out = batch_df
         if len(new_files) < len(files):
-            new_uris = [u for u, f in zip(uris, files) if f in set(new_files)]
+            new_set = set(new_files)
+            new_uris = [u for u, f in zip(uris, files) if f in new_set]
             out = batch_df.filter(F.input_file_name().isin(new_uris))
         catalog.append(
             table, out,

@@ -203,6 +203,20 @@ EXTERNAL_GOLDENS = [
      ["Er", "wohnt", "in", "der", "Hauptstr.", "5", "."], 1),
     ("Laut § 3 Abs. 2 gilt das.",
      ["Laut", "§", "3", "Abs.", "2", "gilt", "das", "."], 1),
+    # --- round-4 review regressions, pinned: parenthesized variables
+    # are not emoticons; a year before a sentence-opening noun is a
+    # sentence end, a short ordinal before the same noun is not; “ opens
+    # an English quote but closes a German one
+    ("Die Funktion f(x) ist stetig.",
+     ["Die", "Funktion", "f", "(", "x", ")", "ist", "stetig", "."], 1),
+    ("Der Krieg endete 1945. Mal sehen.",
+     ["Der", "Krieg", "endete", "1945", ".", "Mal", "sehen", "."], 2),
+    ("Das 2. Mal war besser.",
+     ["Das", "2.", "Mal", "war", "besser", "."], 1),
+    ("She left. “Hello,” he said.",
+     ["She", "left", ".", "“", "Hello", ",", "”", "he", "said", "."], 2),
+    ("(so xD) war das",
+     ["(", "so", "xD", ")", "war", "das"], 1),
 ]
 
 GOLDENS = GOLDENS + EXTERNAL_GOLDENS
