@@ -230,6 +230,52 @@ def test_stream_to_catalog_cobatched_new_and_old_files(spark, tmp_path):
     assert cat.row_count("sink2") == 12
     per_key = {
         r["k"]: r["n"]
-        for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()
+        for r in out.groupBy("k").agg(F.count("*").alias("n"))
+        .collect()
     }
     assert per_key == {0: 3, 1: 3, 2: 3, 7: 3}
+
+
+def test_stream_to_catalog_partitioned_layout_equal_basenames(
+    spark, tmp_path
+):
+    """Partitioned source layouts (date=*/part-00000.parquet) hold
+    DISTINCT files with EQUAL basenames; the exactly-once key must be
+    the source-root-relative path, or the second partition's rows are
+    silently skipped as already-committed (ADVICE r03)."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from kbspark.catalog import Catalog
+    from kbspark.streaming import stream_to_catalog
+
+    src = tmp_path / "part_src"
+    for i, day in enumerate(["2026-01-01", "2026-01-02", "2026-01-03"]):
+        d = src / f"date={day}"
+        d.mkdir(parents=True)
+        tmp = write_stream_file(
+            spark, d, pd.DataFrame({"k": [i] * 3, "v": list(range(3))}), i
+        )
+        # SAME basename in every partition directory
+        dst = d / "part-00000.parquet"
+        tmp.rename(dst)
+        t = _MTIME_BASE + 10 * i
+        os.utime(dst, (t, t))
+
+    cat = Catalog(spark, str(tmp_path / "wh3"))
+    out = stream_to_catalog(spark, str(src), cat, "sink3",
+                            max_files_per_trigger=1)
+    per_key = {
+        r["k"]: r["n"]
+        for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    # a basename key would have committed only the first partition
+    assert per_key == {0: 3, 1: 3, 2: 3}
+    assert cat.row_count("sink3") == 9
+
+    # full replay commits nothing twice (keys are stable relpaths)
+    stream_to_catalog(spark, str(src), cat, "sink3",
+                      max_files_per_trigger=1)
+    assert cat.row_count("sink3") == 9
