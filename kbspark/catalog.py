@@ -250,7 +250,13 @@ class Catalog:
             raise FileNotFoundError(f"catalog table has no data: {table}")
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            # a table can legitimately hold BOTH plain snapshots (append/
+            # overwrite, no partition column) and staged snapshots (the
+            # reconstructed partition column) — e.g. a streaming sink on
+            # a table run_stage once staged. Plain rows read the missing
+            # partition column as NULL instead of read() crashing on a
+            # strict unionByName (round-4 review).
+            out = out.unionByName(d, allowMissingColumns=True)
         return out
 
     def row_count(self, table: str) -> int:

@@ -118,6 +118,16 @@ _WIKILINK = re.compile(r"\[\[([^|\[]*?)[|]?([^|]+?)\]\]")
 _ANCHOR = re.compile(r"(.*?)[#]?([^#]*)")
 
 
+def _raw_target(m) -> str:
+    """Raw link target of one ``_WIKILINK`` match: group 1 if present
+    else the surface, spaces -> underscores (ner.py:92), ``#anchor``
+    suffix stripped (ner.py:95). THE byte-frozen E2 target rule — one
+    definition shared by the mention path, the part splitter and the
+    frame-dim target scan (round-4 review: it was copy-pasted thrice)."""
+    title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
+    return _ANCHOR.match(title)[2]
+
+
 def resolve_title(
     page_title: str,
     entity_types: dict[str, str],
@@ -163,10 +173,7 @@ def extract_link_parts(
     for m in _WIKILINK.finditer(cleaned_text):
         parts.append((cleaned_text[pos : m.start()], "", "O"))
         pos = m.end()
-        # target is group 1 if present else the surface; spaces -> underscores
-        # (ner.py:92); strip a '#anchor' suffix (ner.py:95)
-        title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
-        title = _ANCHOR.match(title)[2]
+        title = _raw_target(m)
         if resolver is not None:
             title, etype = resolver(title)
         else:
@@ -188,9 +195,9 @@ def extract_mentions(
     """
     out = []
     for i, m in enumerate(_WIKILINK.finditer(cleaned_text)):
-        title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
-        title = _ANCHOR.match(title)[2]
-        title, etype = resolve_title(title, entity_types, redirect_targets)
+        title, etype = resolve_title(
+            _raw_target(m), entity_types, redirect_targets
+        )
         out.append((i, m[2], title, etype))
     return out
 
@@ -704,8 +711,7 @@ def link_target_stage(pages_df, text_col: str = "text",
                 seen = set()
                 cleaned = raw if already_clean else clean_text(raw)
                 for m in _WIKILINK.finditer(cleaned):
-                    title = (m[1] if len(m[1]) > 0 else m[2]).replace(" ", "_")
-                    title = _ANCHOR.match(title)[2]
+                    title = _raw_target(m)
                     if title not in seen:
                         seen.add(title)
                         urls.append(url)

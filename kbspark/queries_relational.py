@@ -1230,14 +1230,18 @@ def w_windows(spark, sf_dir):
         )
     )
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    ts_secs = F.col("ts").cast("timestamp").cast("long")
-    lag_secs = F.lag(ts_secs).over(w)
+    # microsecond-exact gap like the oracle's `ts - LAG(ts) > INTERVAL 30
+    # MINUTE`: a floor-to-seconds cast would call a 1800.4s gap exactly
+    # 1800s and keep the session open while the oracle splits (round-4
+    # review — latent, the fixtures happened to dodge it)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.lag(ts_us).over(w)
     sess = (
         ev.withColumn(
             "new_session",
-            F.when(lag_secs.isNull() | (ts_secs - lag_secs > 30 * 60), 1).otherwise(
-                0
-            ),
+            F.when(
+                lag_us.isNull() | (ts_us - lag_us > 30 * 60 * 1_000_000), 1
+            ).otherwise(0),
         )
         .withColumn(
             "session_id",

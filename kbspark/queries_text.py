@@ -217,18 +217,28 @@ def t_lsh_near_dup_pairs(spark, sf_dir):
     degenerate-bucket drop logic fired AND produced exactly the
     cap-modeling oracle's pair set."""
     from kbspark.corpus import words_from_documents
-    from kbspark.textops import lsh_band_table, lsh_near_dup_pairs
+    from kbspark.session import persist_tracked
+    from kbspark.textops import (
+        lsh_band_table,
+        lsh_near_dup_pairs,
+        shingles_from_words,
+    )
 
     words = words_from_documents(spark, sf_dir)
-    docs = spark.table("documents")
+    # ONE shingle->minhash->band build serves all three branches (plain,
+    # capped, dropped-count) — round-4 review: the compound ran the
+    # dominant pipeline three times
+    sh = persist_tracked(shingles_from_words(words, n=3))
+    bands = persist_tracked(lsh_band_table(n_hashes=8, n_bands=2,
+                                           shingles_df=sh))
     plain = lsh_near_dup_pairs(
-        docs, n_hashes=8, n_bands=2, threshold=0.5, words=words
+        None, n_hashes=8, n_bands=2, threshold=0.5,
+        shingles_df=sh, bands=bands,
     )
     capped = lsh_near_dup_pairs(
-        docs, n_hashes=8, n_bands=2, threshold=0.5, max_bucket=2,
-        words=words,
+        None, n_hashes=8, n_bands=2, threshold=0.5, max_bucket=2,
+        shingles_df=sh, bands=bands,
     )
-    bands = lsh_band_table(docs, n_hashes=8, n_bands=2, words=words)
     dropped = (
         bands.groupBy("band_id", "band_key")
         .agg(F.count("*").alias("_bn"))

@@ -7,7 +7,9 @@ SURVEY §2.C, so these are beyond-reference capabilities).
 union+window composition (tag the sides, sort by (ts, side), carry the
 last non-null right value forward), which is a single shuffle on the
 ``by`` key instead of a per-key cross product. Ties at equal ts resolve
-to the right side (>= semantics, matching ANSI ASOF JOIN).
+to the right side (>= semantics, matching ANSI ASOF JOIN); among right
+rows sharing the same (by, ts), the row with the largest payload struct
+wins — a deterministic tiebreak, not partition order.
 """
 
 from __future__ import annotations
@@ -52,10 +54,15 @@ def asof_join(
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tag.unionByName(r_tag.select(l_tag.columns))
 
-    # right rows sort before left rows at equal ts (>= semantics)
-    w = W.partitionBy(by).orderBy(F.col(ts).asc(), F.col("_side").asc()).rowsBetween(
-        W.unboundedPreceding, 0
-    )
+    # right rows sort before left rows at equal ts (>= semantics); among
+    # right rows sharing the same (by, ts) the payload struct itself is
+    # the final sort key, so the carried row is the MAX payload —
+    # deterministic under any partitioning (round-4 review: without it,
+    # duplicate right keys made value_asof partition-order-dependent)
+    w = W.partitionBy(by).orderBy(
+        F.col(ts).asc(), F.col("_side").asc(),
+        F.col("_r").asc_nulls_first(),
+    ).rowsBetween(W.unboundedPreceding, 0)
     carried = unioned.select(
         "*",
         F.last("_r", ignorenulls=True).over(w).alias("_last_r"),

@@ -214,7 +214,11 @@ def knn_ivf(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
             ).alias("cos"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        # no pair dedup needed: every corpus vector lives in exactly ONE
+        # cell and argsort probes each cell at most once per query, so
+        # the equi-join cannot repeat a (query, neighbor) pair — a
+        # dropDuplicates here was a full extra shuffle of the candidate
+        # table (round-4 review)
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()

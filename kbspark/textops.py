@@ -134,10 +134,13 @@ def lsh_band_table(docs: DataFrame | None = None, n_hashes: int = 8,
     )
 
 
-def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
+def lsh_near_dup_pairs(docs: DataFrame | None, n_hashes: int = 8,
+                       n_bands: int = 2,
                        threshold: float = 0.5, shingle_n: int = 3,
                        max_bucket: int | None = None,
-                       words: DataFrame | None = None) -> DataFrame:
+                       words: DataFrame | None = None,
+                       shingles_df: DataFrame | None = None,
+                       bands: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate pairs (doc_a < doc_b, exact Jaccard ≥
     threshold). Bands of n_hashes/n_bands values form bucket keys; docs
     sharing any bucket become candidates; candidates are verified with
@@ -157,16 +160,23 @@ def lsh_near_dup_pairs(docs: DataFrame, n_hashes: int = 8, n_bands: int = 2,
 
     ``words``: optional pre-tokenized (doc_id, _w) frame (e.g. the
     session-shared ``corpus.words_from_documents``) so sibling dedup
-    families don't re-tokenize the corpus.
+    families don't re-tokenize the corpus. ``shingles_df``/``bands``:
+    optional PREBUILT (and caller-persisted) shingle/band tables so a
+    caller running several variants (the capped-vs-plain contract
+    compound) builds the expensive explode+minhash pipeline once —
+    ``bands`` must come from ``lsh_band_table`` with the same
+    ``n_hashes``/``n_bands``.
     """
     # shingles feed both the signature build and the exact-Jaccard
     # verification — materialize once
-    wdf = words if words is not None else words_table(docs)
-    sh = persist_tracked(shingles_from_words(wdf, n=shingle_n))
-    bands = lsh_band_table(
-        n_hashes=n_hashes, n_bands=n_bands, shingles_df=sh
-    )
-    bands = persist_tracked(bands)
+    if shingles_df is None:
+        wdf = words if words is not None else words_table(docs)
+        shingles_df = persist_tracked(shingles_from_words(wdf, n=shingle_n))
+    sh = shingles_df
+    if bands is None:
+        bands = persist_tracked(lsh_band_table(
+            n_hashes=n_hashes, n_bands=n_bands, shingles_df=sh
+        ))
     if max_bucket is not None:
         capped = (
             bands.groupBy("band_id", "band_key")
@@ -267,10 +277,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     )
     posts = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_postings is not None:
-        w_postings = W.partitionBy("shingle")
-        posts = posts.withColumn(
-            "_df", F.count("*").over(w_postings)
-        ).filter(F.col("_df") <= max_postings).drop("_df")
+        # stop-shingles as a grouped over-cap table anti-joined against
+        # the postings (same shape as the LSH/SimHash caps, round-4
+        # review): two-phase count, <= postings/max_postings rows, no
+        # full window sort of the posting table
+        hot = (
+            posts.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_postings)
+            .drop("_df")
+        )
+        posts = posts.join(hot, "shingle", "left_anti")
     a = posts.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = posts.select(F.col("doc_id").alias("doc_b"), "shingle")
     shared = (

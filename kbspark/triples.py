@@ -1,9 +1,12 @@
 """Canonicalized triple materialization (north_star output shape;
 FIXTURES.md §9).
 
-Emits ``(subj, pred, obj, src_url, warc_ts)`` rows from the mention table
-and the entity dimension tables, mirroring the relationships the reference
-stores across its SQLite KB tables (entities / links / entity_linking):
+Emits ``(subj, pred, obj, n_occurrences, src_url)`` rows from the
+mention table and the entity dimension tables — mentions are aggregated
+across snapshots, so there is no single ``warc_ts`` per triple; the
+snapshot timestamp lives on the INPUT table and in the catalog manifest
+metadata. Relationships mirror the reference's SQLite KB tables
+(entities / links / entity_linking):
 
 - ``(page_url, 'mentions', QID)``       — one per resolved entity mention
   (the reference's `links` occurrences, wikipedia/entities.py:330,363)
