@@ -158,8 +158,9 @@ def main() -> None:
     el_stages["mine"] = round(time.time() - t0, 3)
     t0 = time.time()
     prof = _profiles(spans)
-    _link(spans, mined.withColumn("wikidata", mined["QID"]), profiles=prof,
-          aliases_hint="auto").count()
+    # link_entities defaults a missing wikidata column to the QID —
+    # no caller-side patch (round-3/4 reviews)
+    _link(spans, mined, profiles=prof, aliases_hint="auto").count()
     el_stages["link"] = round(time.time() - t0, 3)
     spans.unpersist()
 

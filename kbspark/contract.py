@@ -24,6 +24,11 @@ CONTRACT_ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in CONTRACT_QUERIES:
+            # silent overwrite would shrink the pinned 50-entry surface
+            # with no signal (round-4 review) — fail at import time
+            raise ValueError(f"duplicate contract entry name: {name}")
+
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             from kbspark.session import pin_session_conf, release_tracked
 
@@ -45,15 +50,29 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: THE driver table list — scripts (check_contract, type_audit) import
+#: this instead of keeping their own copies (round-4 review: it was
+#: triplicated and drift would surface as spurious CatalogExceptions).
 _TABLES = (
     "region nation customer supplier part orders lineitem events documents "
     "embeddings"
 ).split()
 
+#: applicationId -> sf_dir the temp views currently point at. Views are
+#: (re)registered only when the target dir changes — re-reading 10
+#: parquet schemas before every one of ~50 contract queries charged the
+#: metadata reads to whatever query ran next (round-4 review). A dict,
+#: not a set: alternating sf_dirs must re-point the views every switch.
+_VIEWS_AT: dict[str, str] = {}
+
 
 def _load_views(spark: SparkSession, sf_dir: str) -> None:
+    app = spark.sparkContext.applicationId
+    if _VIEWS_AT.get(app) == sf_dir:
+        return
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+    _VIEWS_AT[app] = sf_dir
 
 
 # Import side-effect registration of all query groups. queries_graph

@@ -169,13 +169,13 @@ def a1b_category_entities(spark, sf_dir):
 
 _ORACLE_MENTION_BASE = """
     WITH w AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words FROM documents
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), t -> t <> '') AS words FROM documents
     ),
     pos AS (
       SELECT doc_id, UNNEST(words) AS tok, UNNEST(RANGE(0, LEN(words))) AS i FROM w
     ),
     men AS (
-      SELECT doc_id, UPPER(tok[1]) || tok[2:] AS page_title
+      SELECT doc_id, UPPER(tok[1]) || LOWER(tok[2:]) AS page_title
       FROM pos
       WHERE LENGTH(tok) >= 4
         AND (doc_id * 1000003 + i * 101) % 17 IN (0, 1, 2)
@@ -212,7 +212,7 @@ _KG_TRIPLES_ORACLE = (
     _ORACLE_MENTION_BASE
     + """,
     dict AS (
-      SELECT DISTINCT UPPER(tok[1]) || tok[2:] AS title
+      SELECT DISTINCT UPPER(tok[1]) || LOWER(tok[2:]) AS title
       FROM pos WHERE LENGTH(tok) >= 4
     ),
     qids AS (
@@ -276,7 +276,7 @@ def kg_triples_dimframes(spark, sf_dir):
     "kg_tagged_stats",
     oracle="""
     WITH w AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), t -> t <> '') AS words
       FROM documents
     ),
     pos AS (
@@ -359,7 +359,7 @@ def kg_el_quality(spark, sf_dir):
 
 _EL_FULL_ORACLE = """
     WITH w AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), t -> t <> '') AS words
       FROM documents
     ),
     pos AS (
@@ -368,7 +368,7 @@ _EL_FULL_ORACLE = """
     ),
     feat AS (
       SELECT doc_id, tok, i, (doc_id * 1000003 + i * 101) % 17 AS h,
-             UPPER(tok[1]) || tok[2:] AS cap,
+             UPPER(tok[1]) || LOWER(tok[2:]) AS cap,
              CASE WHEN (doc_id * 1000003 + i * 101) % 17 IN (3, 4)
                   THEN 0 ELSE 1 END AS c,
              CASE WHEN (i * 7 + doc_id) % 23 = 0 THEN 1 ELSE 0 END AS p
@@ -515,7 +515,7 @@ def t_simhash_near_dups(spark, sf_dir):
 
 _MARKUP_CTE = """
     WITH w AS (
-      SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS words
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), t -> t <> '') AS words
       FROM documents
     ),
     pieces AS (
@@ -532,7 +532,7 @@ _MARKUP_CTE = """
           AS piece
       FROM (
         SELECT doc_id, tok, i, (doc_id * 1000003 + i * 101) % 17 AS h,
-               UPPER(tok[1]) || tok[2:] AS cap
+               UPPER(tok[1]) || LOWER(tok[2:]) AS cap
         FROM (
           SELECT doc_id, UNNEST(words) AS tok,
                  UNNEST(RANGE(0, LEN(words))) AS i

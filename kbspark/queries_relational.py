@@ -778,7 +778,7 @@ def p_membership(spark, sf_dir):
 
 _A2_ORACLE_BODY = """
       SELECT l_partkey AS target, COUNT(*) AS n_links,
-             COUNT(*) / (SELECT COUNT(*) FROM lineitem) AS proba
+             ROUND(COUNT(*) / (SELECT COUNT(*) FROM lineitem), 9) AS proba
       FROM lineitem GROUP BY l_partkey
 """
 
@@ -813,7 +813,9 @@ def a2_apriori_salted(spark, sf_dir):
             F.lit("plain").alias("variant"),
             "target",
             "n_links",
-            (F.col("n_links") / F.col("_total").cast("double")).alias("proba"),
+            F.round(
+                F.col("n_links") / F.col("_total").cast("double"), 9
+            ).alias("proba"),
         )
     )
     salted = (
@@ -823,7 +825,9 @@ def a2_apriori_salted(spark, sf_dir):
             F.lit("salted").alias("variant"),
             F.col("l_partkey").alias("target"),
             F.col("n_links"),
-            (F.col("n_links") / F.col("_total").cast("double")).alias("proba"),
+            F.round(
+                F.col("n_links") / F.col("_total").cast("double"), 9
+            ).alias("proba"),
         )
     )
     return plain.unionByName(salted)

@@ -24,18 +24,22 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 SF_DIR = os.environ.get("CONTRACT_SF_DIR", "/root/testdata/sf0.01")
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents "
-    "embeddings"
-).split()
+
+from kbspark.contract import _TABLES as TABLES  # noqa: E402
 
 
 def canon_cell(v):
     if v is None:
         return "NULL"
     if isinstance(v, float):
+        # NaN == NULL is deliberate: toPandas represents SQL NULL in a
+        # float column as NaN, so the Spark side can't tell them apart
         if math.isnan(v):
             return "NULL"
+        if math.isinf(v):
+            # int(inf) raises OverflowError OUTSIDE the per-query try
+            # blocks and would abort the whole gate (round-4 review)
+            return repr(v)
         # round FIRST: 2.9999999996 and 3.0 must canonicalize alike
         # (round-3 review: the integer fast path ran before rounding)
         r = round(v, 9)

@@ -220,8 +220,15 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary))
+    # the report prints the SUMMARY's context, not this run's knobs: a
+    # carried-forward prior measurement keeps its own pages/cores/seed
+    # (round-4 review — the md used module globals and could mislabel)
     n, n4 = summary["N"], summary["4N"]
     eff = summary["scaling_efficiency"]
+    md_pages = summary["n_pages"]
+    md_seed = summary["seed"]
+    md_n_cores = n.get("cpus", N_LEVEL)
+    md_4n_cores = n4.get("cpus", 4 * N_LEVEL)
 
     r8 = results.get(8) or {}
     r32 = results.get(32) or {}
@@ -236,7 +243,7 @@ def main() -> None:
 ## Scaling efficiency (north rule: ≥0.8 from N to 4N executors)
 
 Protocol (BASELINE.md §3): deterministic synthetic corpus
-({N_PAGES:,} wiki-markup pages, ~14 KB markup each, seed={SEED},
+({md_pages:,} wiki-markup pages, ~14 KB markup each, seed={md_seed},
 generated once to `BENCH/corpus/`), then the identical end-to-end
 pipeline job — parquet scan → E1 clean_text + E2 mention extraction
 (Arrow-batched mapInPandas, broadcast dictionaries) → triple
@@ -246,8 +253,8 @@ Arrow batch = 1024 rows.
 
 | level | cores | pipeline secs | docs/sec | triples/sec |
 |---|---|---|---|---|
-| N  | {N_LEVEL}  | {n['pipeline_secs']} | {n['docs_per_sec']} | {n['triples_per_sec']} |
-| 4N | {4*N_LEVEL} | {n4['pipeline_secs']} | {n4['docs_per_sec']} | {n4['triples_per_sec']} |
+| N  | {md_n_cores}  | {n['pipeline_secs']} | {n['docs_per_sec']} | {n['triples_per_sec']} |
+| 4N | {md_4n_cores} | {n4['pipeline_secs']} | {n4['docs_per_sec']} | {n4['triples_per_sec']} |
 
 **Scaling efficiency = {n4['docs_per_sec']} / (4 × {n['docs_per_sec']})
 = {eff:.3f}** (target ≥ 0.8: {"PASS" if eff >= 0.8 else "FAIL"}).

@@ -14,10 +14,8 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents "
-    "embeddings"
-).split()
+
+from kbspark.contract import _TABLES as TABLES  # noqa: E402
 
 
 def kind(t) -> str:
