@@ -114,6 +114,20 @@ def synth_entity_db(tmp_path, seed=31, n_subcats=30, n_articles=120):
     return db, page, categorylinks
 
 
+def _edges(spark, page, categorylinks):
+    """The shared edge preparation of entities.py:40-42 (one definition
+    for both parity tests — round-4 test review: it was duplicated)."""
+    s_page = spark.createDataFrame(page)
+    s_links = spark.createDataFrame(categorylinks)
+    cat_pages = s_page.filter("page_namespace = 14").select(
+        "page_id", "page_title"
+    )
+    edges = s_links.join(
+        cat_pages, s_links.cl_from == cat_pages.page_id, "left"
+    ).select("cl_to", "cl_from", "page_title")
+    return s_page, edges
+
+
 def test_category_entities_parity(spark, tmp_path):
     """kbspark.closure.category_entities vs the reference's composed
     extract job (entities.py:196-247) exec'd from source (click
@@ -136,14 +150,7 @@ def test_category_entities_parity(spark, tmp_path):
     ref = pd.read_pickle(out_pkl)
     ref_pairs = sorted(zip(ref.index, ref["TYPE"]))
 
-    s_page = spark.createDataFrame(page)
-    s_links = spark.createDataFrame(categorylinks)
-    cat_pages = s_page.filter("page_namespace = 14").select(
-        "page_id", "page_title"
-    )
-    edges = s_links.join(
-        cat_pages, s_links.cl_from == cat_pages.page_id, "left"
-    ).select("cl_to", "cl_from", "page_title")
+    s_page, edges = _edges(spark, page, categorylinks)
 
     ours = category_entities(s_page, edges).toPandas()
     ours_pairs = sorted(zip(ours.page_title, ours.TYPE))
@@ -166,14 +173,7 @@ def test_category_closure_parity(spark, tmp_path):
         ref_pages = fns["get_category_pages"](ref_cats, cnx)
 
     # Spark side: same edge preparation as entities.py:40-42
-    s_page = spark.createDataFrame(page)
-    s_links = spark.createDataFrame(categorylinks)
-    cat_pages = s_page.filter("page_namespace = 14").select(
-        "page_id", "page_title"
-    )
-    edges = s_links.join(
-        cat_pages, s_links.cl_from == cat_pages.page_id, "left"
-    ).select("cl_to", "cl_from", "page_title")
+    s_page, edges = _edges(spark, page, categorylinks)
 
     ours_cats_df = descendant_edges(edges, "Cat_0")
     ours_cats = ours_cats_df.toPandas()

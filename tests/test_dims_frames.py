@@ -44,6 +44,7 @@ def test_resolution_precedence_matches_resolve_title(spark, sf001_dir):
     via_frames = _rows(
         resolve_mentions_frames(mention_stage_raw(pages, spark), ent, red)
     )
+    assert len(via_dict) > 0  # [] == [] must not pass vacuously
     assert via_frames == via_dict
 
 

@@ -89,6 +89,7 @@ def test_dedup_job_families(spark, tmp_path, sf001_dir):
     lsh_pairs = {(r.doc_a, r.doc_b) for r in lsh.collect()}
     ng_pairs = {(r.doc_a, r.doc_b) for r in ng.collect()}
     assert lsh_pairs <= ng_pairs  # LSH recall <= exact posting join
+    assert len(lsh_pairs) > 0  # a dead LSH path must not pass via {} <= S
     assert len(ng_pairs) > 0
     from kbspark.catalog import Catalog
 

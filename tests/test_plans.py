@@ -117,10 +117,14 @@ def test_no_row_at_a_time_python_udfs():
     offenders = []
     for path in pkg.glob("*.py"):
         src = path.read_text()
-        # F.udf( / @udf without pandas_udf; rdd.map / rdd.flatMap
+        # F.udf( / @udf without pandas_udf; spark.udf.register; raw RDD
+        # entry points (round-4 test review: register() and
+        # parallelize() slipped past the old patterns)
         if re.search(r"(?<!pandas_)\budf\(", src):
             offenders.append((path.name, "row udf"))
-        if re.search(r"\.rdd\b", src):
+        if re.search(r"\budf\.register\(", src):
+            offenders.append((path.name, "registered row udf"))
+        if re.search(r"\.rdd\b|\bparallelize\(", src):
             offenders.append((path.name, "rdd api"))
     assert not offenders, offenders
 

@@ -68,9 +68,11 @@ def test_get_redirects_parity(spark, tmp_path):
     assert (ours_pdf["rd_title"] == ref_sorted["rd_title"]).all()
     assert (ours_pdf["TYPE"] == ref_sorted["TYPE"]).all()
 
-    # dup metric equals the reference's duplicated count pre-dedup
+    # dup metric equals the reference's duplicated count pre-dedup —
+    # compared against the reference's OWN computation, not just >= 0
+    # (round-4 test review: the old assert was vacuous)
     n_dup = int(dup_metric.collect()[0]["n_duplicated_redirects"] or 0)
-    assert n_dup >= 0  # value checked implicitly: dedup made index unique
+    assert n_dup == int(ref_redirects.index.duplicated().sum())
     assert not ours_pdf.index.duplicated().any()
 
 

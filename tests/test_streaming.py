@@ -179,8 +179,11 @@ def test_stream_to_catalog_exactly_once(spark, tmp_path):
     import os
 
     pdf = pd.DataFrame({"k": [9] * 4, "v": list(range(4))})
-    # a NEW file with an OLDER pinned mtime than every committed file
-    dst = write_stream_file(spark, flat, pdf, 0)
+    # a NEW file with an OLDER pinned mtime than every committed file —
+    # written under an UNUSED seq so the committed 000.parquet stays on
+    # disk and its re-delivery is part of the replay (round-4 test
+    # review: seq=0 clobbered-then-renamed the original batch-0 file)
+    dst = write_stream_file(spark, flat, pdf, 3)
     older = dst.parent / "a_older.parquet"
     dst.rename(older)
     t = _MTIME_BASE - 9999

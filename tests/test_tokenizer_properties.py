@@ -77,3 +77,18 @@ def test_annotation_rows_positionally_consistent(parts):
     for s_idx, widxs in seen.items():
         assert widxs == list(range(len(widxs)))
     assert sorted(seen) == list(range(len(seen)))
+    # token conservation (round-4 test review: the docstring promised it
+    # but nothing asserted it): the sentence split + realignment must
+    # emit exactly one row per token of the pre-split stream — a
+    # splitter that dropped or truncated a sentence would pass the
+    # dense-index checks above
+    from kbspark.extract import clean_text, extract_link_parts, tokenize_parts
+
+    parts_list = extract_link_parts(
+        clean_text(text), entity_types, redirects
+    )
+    expected_tokens, _ = (
+        tokenize_parts(RegexTokenizer(), parts_list)
+        if parts_list else ([], [])
+    )
+    assert len(rows) == len(expected_tokens)
