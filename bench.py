@@ -78,15 +78,19 @@ def main() -> None:
         sp, sf, dim_collect_cap=1
     )
 
-    # the t_lsh CONTRACT entry is a correctness compound (plain + capped
-    # rerun + dropped-bucket count = ~3 pipelines); the headline times
-    # the OPERATOR, comparable with earlier rounds
+    # the t_lsh / t_simhash CONTRACT entries are correctness compounds
+    # (plain + capped rerun + dropped-bucket count); the headline times
+    # the OPERATORS, comparable with earlier rounds
     from kbspark.corpus import words_from_documents
-    from kbspark.textops import lsh_near_dup_pairs
+    from kbspark.textops import lsh_near_dup_pairs, simhash_near_dups
 
     queries["t_lsh_near_dup_pairs"] = lambda sp, sf: lsh_near_dup_pairs(
         sp.read.parquet(f"{sf}/documents.parquet"), n_hashes=8, n_bands=2,
         threshold=0.5, words=words_from_documents(sp, sf),
+    )
+    queries["t_simhash_near_dups"] = lambda sp, sf: simhash_near_dups(
+        sp.read.parquet(f"{sf}/documents.parquet"), max_hamming=7,
+        n_blocks=8, words=words_from_documents(sp, sf),
     )
 
     # warm the JVM AND the Arrow/python-worker path once so per-query

@@ -410,10 +410,31 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
+def simhash_block_table(sig: DataFrame, n_blocks: int = 4) -> DataFrame:
+    """(doc_id, blocks array, block_id, block_key) — the integer block
+    bucket table ``simhash_near_dups`` joins on, from a ``simhash64``
+    signature table; exposed so callers (the capped-dedup contract
+    compound, diagnostics) can inspect bucket sizes."""
+    bits = 64 // n_blocks
+    block_words = F.array(
+        *[
+            F.conv(F.substring("simhash", i * bits + 1, bits), 2, 10).cast("long")
+            for i in range(n_blocks)
+        ]
+    )
+    return sig.select("doc_id", block_words.alias("blocks")).select(
+        "doc_id",
+        "blocks",
+        F.posexplode("blocks").alias("block_id", "block_key"),
+    )
+
+
+def simhash_near_dups(docs: DataFrame | None, max_hamming: int = 3,
                       n_blocks: int = 4,
                       max_bucket: int | None = None,
-                      words: DataFrame | None = None) -> DataFrame:
+                      words: DataFrame | None = None,
+                      sig: DataFrame | None = None,
+                      blocks: DataFrame | None = None) -> DataFrame:
     """SimHash near-dup pairs: block on ``n_blocks`` equal signature
     sub-words (a pair within Hamming distance < n_blocks shares at least
     one block — pigeonhole, so the result is EXACT for
@@ -454,24 +475,16 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
         # any Hamming distance anyway
         raise ValueError("n_blocks must be >= 2 (single-block keys "
                          "overflow long and block nothing)")
-    bits = 64 // n_blocks
-    sig = simhash64(docs, words=words)
-    block_words = F.array(
-        *[
-            F.conv(F.substring("simhash", i * bits + 1, bits), 2, 10).cast("long")
-            for i in range(n_blocks)
-        ]
-    )
-    keyed = sig.select("doc_id", block_words.alias("blocks"))
-    # materialize once: both self-join sides read the tiny block table
-    # (n_docs x n_blocks longs) instead of recomputing the full signature
-    # aggregation twice
-    blocks = keyed.select(
-        "doc_id",
-        "blocks",
-        F.posexplode("blocks").alias("block_id", "block_key"),
-    )
-    blocks = persist_tracked(blocks)
+    if blocks is None:
+        if sig is None:
+            sig = simhash64(docs, words=words)
+        # materialize once: both self-join sides read the tiny block
+        # table (n_docs x n_blocks longs) instead of recomputing the
+        # full signature aggregation twice. Caller-provided ``sig`` /
+        # ``blocks`` (caller-persisted) let a capped-vs-plain compound
+        # build the expensive vote aggregation once; ``blocks`` must
+        # come from ``simhash_block_table`` with the same n_blocks.
+        blocks = persist_tracked(simhash_block_table(sig, n_blocks))
     if max_bucket is not None:
         # over-cap buckets: two-phase count (map-side partials absorb the
         # skew that DEFINES these buckets), then drop their postings with
