@@ -245,11 +245,13 @@ def lsh_near_dup_pairs(docs: DataFrame | None, n_hashes: int = 8,
     return jac.filter(F.col("jaccard") >= threshold)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
+def ngram_jaccard_pairs(docs: DataFrame | None, n: int = 3,
+                        threshold: float = 0.3,
                         max_postings: int | None = None,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        words: DataFrame | None = None) -> DataFrame:
+                        words: DataFrame | None = None,
+                        shingles_df: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via a posting-list join
     (the third dedup family next to MinHash-LSH and SimHash): explode
     distinct shingles to (shingle -> doc) postings, equi-join on the
@@ -264,11 +266,16 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.3,
     docs would alone emit 10^12 join rows while contributing only to
     pairs far below any useful threshold. Dropping them makes the shared
     count a lower bound (recall<1 on affected pairs), never a false
-    positive above it."""
-    wdf = words if words is not None else words_table(
-        docs, id_col=id_col, text_col=text_col
-    )
-    sh = persist_tracked(shingles_from_words(wdf, n=n))
+    positive above it.
+
+    ``shingles_df``: optional prebuilt (and caller-persisted) shingle
+    table (``shingles_from_words`` shape) shared across variants."""
+    if shingles_df is None:
+        wdf = words if words is not None else words_table(
+            docs, id_col=id_col, text_col=text_col
+        )
+        shingles_df = persist_tracked(shingles_from_words(wdf, n=n))
+    sh = shingles_df
     sizes_a = sh.select(
         F.col("doc_id").alias("doc_a"), F.size("shingles").alias("_sza")
     )
