@@ -171,6 +171,7 @@ class Catalog:
             "snapshot": f"snap-{len(entries):05d}-{uuid.uuid4().hex[:8]}",
             "paths": paths,
             "base_path": staged["base"],
+            "part_col": part_col,
             "n_rows": int(
                 sum(staged["counts"].get(part_count_key(v), 0) for v in values)
             ),
@@ -239,9 +240,16 @@ class Catalog:
         # staged-partition entries group by base so the partition column
         # is reconstructed from the directory names
         by_base: dict[str, list[str]] = {}
+        part_cols: set[str] = set()
         for e in entries:
             if e.get("paths"):
                 by_base.setdefault(e["base_path"], []).extend(e["paths"])
+                # part_col recorded since round 5; older manifests carry
+                # it only in the directory name ('col=value')
+                part_cols.add(
+                    e.get("part_col")
+                    or os.path.basename(e["paths"][0]).split("=", 1)[0]
+                )
         for base, paths in by_base.items():
             dfs.append(
                 self.spark.read.option("basePath", base).parquet(*paths)
@@ -253,10 +261,19 @@ class Catalog:
             # a table can legitimately hold BOTH plain snapshots (append/
             # overwrite, no partition column) and staged snapshots (the
             # reconstructed partition column) — e.g. a streaming sink on
-            # a table run_stage once staged. Plain rows read the missing
-            # partition column as NULL instead of read() crashing on a
-            # strict unionByName (round-4 review).
-            out = out.unionByName(d, allowMissingColumns=True)
+            # a table run_stage once staged. The allowance is restricted
+            # to exactly the known partition column(s): plain rows read
+            # those as NULL, but any OTHER column-set drift between
+            # snapshots (renamed/dropped data column) still fails loudly
+            # instead of silently NULL-filling (ADVICE r04).
+            diff = set(out.columns) ^ set(d.columns)
+            if diff - part_cols:
+                raise ValueError(
+                    f"catalog table {table!r}: schema drift between "
+                    f"snapshots on non-partition column(s) "
+                    f"{sorted(diff - part_cols)}"
+                )
+            out = out.unionByName(d, allowMissingColumns=bool(diff))
         return out
 
     def row_count(self, table: str) -> int:

@@ -66,9 +66,23 @@ _TABLES = (
 _VIEWS_AT: dict[str, str] = {}
 
 
+def invalidate_views(spark: SparkSession) -> None:
+    """Drop the view memo for this Spark app — call after replacing or
+    dropping any of the ten contract temp views out-of-band (e.g. a test
+    registering its own 'documents'), so the next contract query
+    re-registers instead of silently reading the wrong data (ADVICE
+    r04)."""
+    _VIEWS_AT.pop(spark.sparkContext.applicationId, None)
+
+
 def _load_views(spark: SparkSession, sf_dir: str) -> None:
     app = spark.sparkContext.applicationId
-    if _VIEWS_AT.get(app) == sf_dir:
+    if _VIEWS_AT.get(app) == sf_dir and all(
+        # catalog existence probes are metadata-only (no parquet schema
+        # read); they catch out-of-band dropTempView without re-charging
+        # ~10 schema reads to every query (ADVICE r04)
+        spark.catalog.tableExists(t) for t in _TABLES
+    ):
         return
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)

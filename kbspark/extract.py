@@ -258,7 +258,11 @@ class RegexTokenizer:
         # as an emoticon), ^^, <3, \o/ and O_o-style faces. Before
         # <number> so '8-)' reads as an emoticon, not the digit 8.
         | (?P<action>\*[^\W\d_]\w*\*)
-        | (?P<emoticon>[:;=8][-o^']?[()\[\]DdPp/\\|*]+(?!\w)
+        # 8-eyed smileys ('8-)') are boundary-guarded like the letter
+        # mouths: a digit 8 after '(' or a word char is a citation /
+        # number ('Artikel 5 (8)'), never an emoticon eye (ADVICE r04)
+        | (?P<emoticon>[:;=][-o^']?[()\[\]DdPp/\\|*]+(?!\w)
+                      |(?<![\w(])8[-o^']?[()\[\]DdPp/\\|*]+(?!\w)
                       |(?<![\w])[xX][DdPp]+(?!\w)
                       |(?<![\w])(?:\^\^+|<3+|</3|\\o/|[oO0][._][oO0])(?!\w))
         # short ordinal incl. its period before a known capitalized

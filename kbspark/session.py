@@ -8,6 +8,7 @@ adaptive skew-join, Arrow batching are cluster-relevant, not local hacks).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -88,6 +89,9 @@ def release_tracked() -> int:
     return n
 
 
+_CHECKPOINT_LOCK = threading.Lock()
+
+
 def local_checkpoint_tracked(df):
     """``df.localCheckpoint()`` plus the ids of the RDD cache blocks the
     checkpoint pinned, as ``(checkpointed_df, [rdd_id, ...])``.
@@ -97,13 +101,23 @@ def local_checkpoint_tracked(df):
     O(rounds × |V|) cached blocks for its whole lifetime (ADVICE r03).
     Capturing the delta of ``getPersistentRDDs`` around the (eager)
     checkpoint lets the loop release the PREVIOUS round's blocks via
-    ``release_rdd_ids`` once the new round is materialized."""
-    sc = df.sparkSession.sparkContext
-    jmap = sc._jsc.getPersistentRDDs()
-    before = set(jmap.keySet().toArray())
-    out = df.localCheckpoint()
-    after = sc._jsc.getPersistentRDDs().keySet().toArray()
-    return out, [i for i in after if i not in before]
+    ``release_rdd_ids`` once the new round is materialized.
+
+    The before/after delta attributes every persist registered inside
+    the window to THIS checkpoint, so concurrent persists (another
+    driver thread, a background streaming job) would be mis-attributed
+    and later unpersisted. ``_CHECKPOINT_LOCK`` serializes the capture
+    window across driver threads (ADVICE r04); persists issued by Spark
+    itself outside any ``local_checkpoint_tracked`` call remain the
+    caller's responsibility — keep long-lived background jobs on their
+    own SparkSession if they persist."""
+    with _CHECKPOINT_LOCK:
+        sc = df.sparkSession.sparkContext
+        jmap = sc._jsc.getPersistentRDDs()
+        before = set(jmap.keySet().toArray())
+        out = df.localCheckpoint()
+        after = sc._jsc.getPersistentRDDs().keySet().toArray()
+        return out, [i for i in after if i not in before]
 
 
 def release_rdd_ids(spark, ids) -> int:

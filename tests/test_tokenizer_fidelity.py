@@ -217,6 +217,15 @@ EXTERNAL_GOLDENS = [
      ["She", "left", ".", "“", "Hello", ",", "”", "he", "said", "."], 2),
     ("(so xD) war das",
      ["(", "so", "xD", ")", "war", "das"], 1),
+    # --- round-5 ADVICE regression, pinned: a parenthesized digit 8
+    # (legal-citation style) is not an emoticon eye; '8-)' and bare '8)'
+    # after whitespace still are
+    ("Artikel 5 (8) gilt weiter.",
+     ["Artikel", "5", "(", "8", ")", "gilt", "weiter", "."], 1),
+    ("Siehe (3) und (8).",
+     ["Siehe", "(", "3", ")", "und", "(", "8", ")", "."], 1),
+    ("Das war toll 8-) wirklich.",
+     ["Das", "war", "toll", "8-)", "wirklich", "."], 1),
 ]
 
 GOLDENS = GOLDENS + EXTERNAL_GOLDENS
