@@ -138,7 +138,7 @@ _SHINGLES_DUCK = """
 @register(
     "t_lsh_near_dup_pairs",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_DUCK}),
+    WITH RECURSIVE sh AS ({_SHINGLES_DUCK}),
     exploded AS (SELECT doc_id, UNNEST(shingles) AS shingle FROM sh),
     hashed AS (
       SELECT doc_id, h, MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS minhash
@@ -188,7 +188,28 @@ _SHINGLES_DUCK = """
       FROM pairs_c p
       JOIN sh sa ON sa.doc_id = p.doc_a
       JOIN sh sb ON sb.doc_id = p.doc_b
+    ),
+    -- connected components over the PLAIN pair graph (dup-cluster
+    -- resolution): recursive min-root propagation — every node seeds
+    -- its own root; roots flow along undirected edges; min reachable
+    -- root per node == the component's minimum doc_id
+    dup_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac WHERE jaccard >= 0.5
+      UNION ALL
+      SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5
+    ),
+    reach(doc_id, root) AS (
+      SELECT DISTINCT a, a FROM dup_edges
+      UNION
+      SELECT e.b, r.root FROM reach r JOIN dup_edges e ON e.a = r.doc_id
+    ),
+    comp AS (
+      SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
     )
+    SELECT 'cluster' AS op, doc_id AS doc_a, cluster_id AS doc_b,
+           CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS BIGINT) AS n_dropped
+    FROM comp
+    UNION ALL
     SELECT 'plain' AS op, doc_a, doc_b, jaccard,
            CAST(NULL AS BIGINT) AS n_dropped
     FROM jac WHERE jaccard >= 0.5
@@ -215,10 +236,17 @@ def t_lsh_near_dup_pairs(spark, sf_dir):
     (two size-3 buckets exist); the 'dropped' row carries the number of
     band postings the cap removed, so the hash match proves the
     degenerate-bucket drop logic fired AND produced exactly the
-    cap-modeling oracle's pair set."""
+    cap-modeling oracle's pair set.
+
+    Round 5 adds a fourth branch: 'cluster' rows resolve the PLAIN pair
+    graph into duplicate clusters via ``textops.dup_clusters`` (pointer-
+    jumping connected components) vs a DuckDB recursive-CTE min-root
+    oracle — the survivor-selection operator every dedup family needs,
+    now driver-visible (VERDICT r04 #7)."""
     from kbspark.corpus import words_from_documents
     from kbspark.session import persist_tracked
     from kbspark.textops import (
+        dup_clusters,
         lsh_band_table,
         lsh_near_dup_pairs,
         shingles_from_words,
@@ -231,9 +259,16 @@ def t_lsh_near_dup_pairs(spark, sf_dir):
     sh = persist_tracked(shingles_from_words(words, n=3))
     bands = persist_tracked(lsh_band_table(n_hashes=8, n_bands=2,
                                            shingles_df=sh))
-    plain = lsh_near_dup_pairs(
+    plain = persist_tracked(lsh_near_dup_pairs(
         None, n_hashes=8, n_bands=2, threshold=0.5,
         shingles_df=sh, bands=bands,
+    ))
+    clusters = dup_clusters(plain).select(
+        F.lit("cluster").alias("op"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("cluster_id").alias("doc_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("long").alias("n_dropped"),
     )
     capped = lsh_near_dup_pairs(
         None, n_hashes=8, n_bands=2, threshold=0.5, max_bucket=2,
@@ -256,8 +291,11 @@ def t_lsh_near_dup_pairs(spark, sf_dir):
         F.lit(op).alias("op"), "doc_a", "doc_b", "jaccard",
         F.lit(None).cast("long").alias("n_dropped"),
     )
-    return tag(plain, "plain").unionByName(tag(capped, "capped")).unionByName(
-        dropped
+    return (
+        tag(plain, "plain")
+        .unionByName(tag(capped, "capped"))
+        .unionByName(dropped)
+        .unionByName(clusters)
     )
 
 
