@@ -105,6 +105,22 @@ def main() -> None:
         _noop, schema="id long"
     ).count()
 
+    # noise sentinel (VERDICT r04 #2): a fixed JVM-side op (hash+sum over
+    # 100M longs — CPU + memory-bus bound like the real queries, zero
+    # python workers; sized so its own run-to-run variance is small
+    # against scheduler jitter) timed before every query and once at the
+    # end. The
+    # per-query noise_index = mean(adjacent sentinels) / fastest sentinel
+    # of this bench run; cross-round throughput drift that tracks the
+    # sentinel is co-tenant noise, drift that doesn't is a plan change —
+    # machine-adjudicable from the JSON alone.
+    def sentinel() -> float:
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(hash(id)) as s").collect()
+        return round(time.time() - t0, 3)
+
+    sentinel()  # one throwaway: JIT + codegen cache for the sentinel itself
+
     # best-of-N per query with memos cleared before EVERY run: this box
     # has multi-minute co-tenant noise waves (BENCH/BASELINE.md); the min
     # of N cold runs separates plan regressions from noise, and the reset
@@ -114,7 +130,9 @@ def main() -> None:
     warm: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     counts: dict[str, int] = {}
+    sentinels: list[float] = []
     for name in HEADLINE:
+        sentinels.append(sentinel())
         runs = []
         for _ in range(n_runs):
             reset_memos()
@@ -125,10 +143,22 @@ def main() -> None:
         all_runs[name] = runs
         timings[name] = min(runs)
         if name in WARM_QUERIES:
-            # memos are warm from the last cold run — steady-state time
-            t0 = time.time()
-            queries[name](spark, sf_dir).count()
-            warm[name] = round(time.time() - t0, 3)
+            # memos are warm from the last cold run — steady-state time,
+            # best-of-N like the cold number (r04 nit: a single warm run
+            # inherited full co-tenant variance)
+            wruns = []
+            for _ in range(n_runs):
+                t0 = time.time()
+                queries[name](spark, sf_dir).count()
+                wruns.append(round(time.time() - t0, 3))
+            warm[name] = min(wruns)
+    sentinels.append(sentinel())
+
+    s_min = min(sentinels)
+    noise_index = {
+        name: round((sentinels[i] + sentinels[i + 1]) / (2 * s_min), 2)
+        for i, name in enumerate(HEADLINE)
+    }
 
     total = round(sum(timings.values()), 3)
 
@@ -140,6 +170,7 @@ def main() -> None:
     )
     from kbspark.extract import annotate_stage as _annotate
     from kbspark.linking import (
+        build_alias_dict as _dict,
         entity_context_profiles as _profiles,
         link_entities as _link,
         mention_spans as _spans,
@@ -149,6 +180,7 @@ def main() -> None:
 
     reset_memos()
     el_stages: dict[str, float] = {}
+    el_sentinel_before = sentinel()
     t0 = time.time()
     _ents, _reds = _dims(spark, sf_dir)
     tagged = _annotate(_pages(spark, sf_dir), spark, _ents, _reds)
@@ -160,12 +192,24 @@ def main() -> None:
     mined = _mine(spans, dim, target_col="gt", max_targets_per_surface=8)
     mined.count()
     el_stages["mine"] = round(time.time() - t0, 3)
+    # dictionary stage: profiles + the per-alias candidate aggregation,
+    # materialized once (the reference writes its dictionary before EL;
+    # r04 charged this derivation to "link", hiding where the time went)
     t0 = time.time()
     prof = _profiles(spans)
-    # link_entities defaults a missing wikidata column to the QID —
-    # no caller-side patch (round-3/4 reviews)
-    _link(spans, mined, profiles=prof, aliases_hint="auto").count()
+    dict_df = _dict(mined, profiles=prof).persist()
+    dict_df.count()
+    el_stages["dict"] = round(time.time() - t0, 3)
+    # link stage: the pure probe — broadcast join + in-row score/rank/
+    # sentinel, zero post-join exchanges
+    t0 = time.time()
+    _link(spans, mined, profiles=prof, aliases_hint="auto",
+          dict_df=dict_df).count()
     el_stages["link"] = round(time.time() - t0, 3)
+    el_stages["noise_index"] = round(
+        (el_sentinel_before + sentinel()) / (2 * s_min), 2
+    )
+    dict_df.unpersist()
     spans.unpersist()
 
     # Pipeline throughput on a corpus large enough to amortize fixed
@@ -188,12 +232,44 @@ def main() -> None:
     )
     replicated = replicated.persist()
     n_docs = replicated.count()  # materialize the input before the clock
+    pipe_sentinel_before = sentinel()
     t0 = time.time()
     mentions = mention_stage(replicated, spark, entity_types, redirect_targets)
     n_triples = build_triples(
         spark, mentions, entity_types, redirect_targets
     ).count()
     kg_secs = time.time() - t0
+    pipe_sentinel_after = sentinel()
+
+    # Working-set stress for the 100-TB frame-dim path (VERDICT r04 #5):
+    # the same replicated ~200k-doc corpus through flagship triples AND
+    # full EL on BOTH dim strategies (dict vs dim_collect_cap=1 frames) —
+    # frame-vs-dict throughput measured where the working set, not stage
+    # fixed overhead, dominates. One run each (the sentinel pair brackets
+    # the block for noise adjudication); dims still derive from sf_dir,
+    # exactly like the dict-path pipeline above.
+    from kbspark.jobs import flagship_triples
+
+    working_set: dict[str, float] = {}
+    ws_sentinels = [sentinel()]
+    for label, cap in (("dict", None), ("frames", 1)):
+        reset_memos()
+        t0 = time.time()
+        flagship_triples(spark, sf_dir, dim_collect_cap=cap,
+                         pages_df=replicated).count()
+        working_set[f"triples_{label}_secs"] = round(time.time() - t0, 3)
+        ws_sentinels.append(sentinel())
+    for label, cap in (("dict", None), ("frames", 1)):
+        reset_memos()
+        t0 = time.time()
+        entity_linking_job(spark, sf_dir, dim_collect_cap=cap,
+                           pages_df=replicated).count()
+        working_set[f"el_{label}_secs"] = round(time.time() - t0, 3)
+        ws_sentinels.append(sentinel())
+    for k in list(working_set):
+        working_set[k.replace("_secs", "_docs_per_sec")] = round(
+            n_docs / working_set[k], 1
+        )
     replicated.unpersist()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -207,7 +283,12 @@ def main() -> None:
         "bench_runs": n_runs,
         "bench_protocol": "memos reset before every run; min of N cold "
                           "runs (first-run-comparable); queries_warm = "
-                          "one extra run with memos warm",
+                          "min of N runs with memos warm; noise_index = "
+                          "mean(adjacent sentinel times)/min sentinel — "
+                          "~1.0 clean window, >1.3 co-tenant wave",
+        "noise_index": noise_index,
+        "sentinel_secs": sentinels,
+        "sentinel_min": s_min,
         "el_stages": el_stages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows": counts,
@@ -216,6 +297,13 @@ def main() -> None:
         "pipeline_secs": round(kg_secs, 3),
         "docs_per_sec": round(n_docs / kg_secs, 1) if kg_secs else None,
         "triples_per_sec": round(n_triples / kg_secs, 1) if kg_secs else None,
+        "pipeline_noise_index": round(
+            (pipe_sentinel_before + pipe_sentinel_after) / (2 * s_min), 2
+        ),
+        "working_set_200k": working_set,
+        "working_set_noise_index": round(
+            sum(ws_sentinels) / (len(ws_sentinels) * s_min), 2
+        ),
         "cpus": cpus,
     }
     print(json.dumps(result))

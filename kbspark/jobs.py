@@ -38,7 +38,8 @@ from kbspark.triples import build_triples, build_triples_from_frames
 
 
 def flagship_triples(spark: SparkSession, sf_dir: str,
-                     dim_collect_cap: int | None = None) -> DataFrame:
+                     dim_collect_cap: int | None = None,
+                     pages_df: DataFrame | None = None) -> DataFrame:
     """documents → pages → mentions → triples.
 
     Dim strategy is size-gated: a dictionary-sized vocabulary collects to
@@ -46,9 +47,15 @@ def flagship_triples(spark: SparkSession, sf_dir: str,
     worker-dict shape, ner.py:292-293); above the cap nothing is collected
     and J5 resolves via DataFrame dim joins (``resolve_mentions_frames``)
     — the 100-TB path where the corpus-derived dictionary is itself big
-    data."""
+    data.
+
+    ``pages_df`` overrides the corpus (dims still derive from ``sf_dir``)
+    — the working-set stress harness feeds a replicated corpus through
+    the same code path (VERDICT r04 #5)."""
     pin_session_conf(spark)
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_df if pages_df is not None else pages_from_documents(
+        spark, sf_dir
+    )
     kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
     dims = try_dims_from_documents(spark, sf_dir, **kw)
     if dims is None:
@@ -88,7 +95,8 @@ def _tagged_cache_put(key: tuple, tagged: DataFrame) -> None:
 
 def tagged_table(spark: SparkSession, sf_dir: str,
                  use_cache: bool = True,
-                 dim_collect_cap: int | None = None) -> DataFrame:
+                 dim_collect_cap: int | None = None,
+                 pages_df: DataFrame | None = None) -> DataFrame:
     """documents → pages → per-sentence BIO-tagged table (the reference's
     `tagged` table with typed nested arrays, ner.py:196-197), persisted
     once per session like the reference's materialized SQLite table.
@@ -96,8 +104,13 @@ def tagged_table(spark: SparkSession, sf_dir: str,
     Dim strategy is size-gated like the flagship (VERDICT r02 #2): a
     dictionary-sized vocabulary annotates with broadcast dicts; above the
     cap nothing is collected and each page resolves its links through a
-    per-page map built by relational joins (``annotate_stage_frames``)."""
+    per-page map built by relational joins (``annotate_stage_frames``).
+
+    ``pages_df`` overrides the corpus (dims still derive from ``sf_dir``);
+    an overridden corpus is never cached — the memo is keyed on sf_dir."""
     pin_session_conf(spark)
+    if pages_df is not None:
+        use_cache = False
     key = (spark.sparkContext.applicationId, sf_dir, dim_collect_cap)
     if use_cache and key in _TAGGED_CACHE:
         # refresh recency (ADVICE r03): eviction pops the FRONT of the
@@ -105,7 +118,9 @@ def tagged_table(spark: SparkSession, sf_dir: str,
         # otherwise alternating three keys evicts the hottest table
         _TAGGED_CACHE[key] = _TAGGED_CACHE.pop(key)
         return _TAGGED_CACHE[key]
-    pages = pages_from_documents(spark, sf_dir)
+    pages = pages_df if pages_df is not None else pages_from_documents(
+        spark, sf_dir
+    )
     kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
     dims = try_dims_from_documents(spark, sf_dir, **kw)
     if dims is None:
@@ -123,7 +138,8 @@ def tagged_table(spark: SparkSession, sf_dir: str,
 
 
 def entity_linking_job(spark: SparkSession, sf_dir: str,
-                       dim_collect_cap: int | None = None) -> DataFrame:
+                       dim_collect_cap: int | None = None,
+                       pages_df: DataFrame | None = None) -> DataFrame:
     """Full native EL pipeline (the reference's batchel-wp trace, §3.3,
     minus the HTTP boundaries): tagged table → mention spans (E9) →
     alias dictionary (titles + redirects + corpus-mined anchor texts,
@@ -148,7 +164,8 @@ def entity_linking_job(spark: SparkSession, sf_dir: str,
     kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
     dims = _try_dims(spark, sf_dir, **kw)
 
-    tagged = tagged_table(spark, sf_dir, dim_collect_cap=dim_collect_cap)
+    tagged = tagged_table(spark, sf_dir, dim_collect_cap=dim_collect_cap,
+                          pages_df=pages_df)
     # one full-corpus extraction pass: spans feed BOTH candidate mining
     # (surface->gt pairs) and linking — no second mention_stage scan
     spans = persist_tracked(mention_spans(tagged))

@@ -211,6 +211,39 @@ def filter_mentions(
     return out
 
 
+def build_alias_dict(
+    aliases: DataFrame, profiles: DataFrame | None = None
+) -> DataFrame:
+    """Pre-aggregate the alias dictionary to ONE row per alias carrying
+    its candidate structs ``(page_title, wikidata, prior, profile)`` —
+    the build side of the EL probe join (see ``link_entities``). With
+    ``profiles`` given, each candidate carries its trained term profile
+    (dict-sized left join); without, it carries its own title tokens.
+    All dictionary-sized work: at 100 TB this is the only shuffle the
+    linking stage performs."""
+    if "wikidata" not in aliases.columns:
+        aliases = aliases.withColumn("wikidata", F.col("QID"))
+    if profiles is not None:
+        aliases = aliases.join(profiles, "page_title", "left")
+        prof_col = F.coalesce(
+            F.col("profile"), F.array().cast("array<string>")
+        )
+    else:
+        prof_col = F.array_distinct(
+            F.split(F.lower(F.col("page_title")), r"[\s_]+")
+        )
+    return aliases.groupBy("alias").agg(
+        F.collect_list(
+            F.struct(
+                F.col("page_title"),
+                F.coalesce(F.col("wikidata"), F.col("QID")).alias("wikidata"),
+                F.coalesce(F.col("proba"), F.lit(0.0)).alias("prior"),
+                prof_col.alias("profile"),
+            )
+        ).alias("_cands")
+    )
+
+
 def link_entities(
     mentions: DataFrame,
     aliases: DataFrame,
@@ -218,6 +251,7 @@ def link_entities(
     threshold: float = 0.01,
     context_weight: float = 0.5,
     aliases_hint: str = "broadcast",
+    dict_df: DataFrame | None = None,
 ) -> DataFrame:
     """E10 scoring + ranking. ``aliases``: dictionary with
     (alias, page_title, QID, TYPE, proba). ``profiles``: optional
@@ -232,96 +266,118 @@ def link_entities(
     corpus-MINED dictionaries grow with the corpus and a forced broadcast
     OOMs executors at 100x scale; under 'auto' Spark broadcasts while the
     dict is under the threshold and falls back to a shuffle join above it
-    (same semantics either way). Applies to the profiles join too."""
+    (same semantics either way).
+
+    Plan shape (round 5, VERDICT r04 #3): the dictionary is
+    pre-aggregated to ONE row per alias carrying its candidate structs
+    (profiles folded in first — dict-sized joins only), so the probe
+    join emits one row per MENTION, not per candidate, and scoring +
+    threshold + ranking + sentinel emission all happen inside array
+    expressions on that row. The earlier per-candidate window
+    (partitionBy mention, orderBy score) shuffled and sorted the whole
+    candidate table — ~k× the mention count — every run; per-mention
+    candidate sets are dictionary-capped (mining caps targets/surface at
+    8), so a JVM-side array sort of ≤~10 elements replaces the engine's
+    widest exchange. At 100 TB the only shuffle left in this stage is
+    building the dictionary itself. ``posexplode_outer`` emits the
+    sentinel row natively (an empty ranked array explodes to one NULL
+    row) so the whole score→filter→sort chain is evaluated exactly once
+    per mention — a when/otherwise emission evaluated it 2-3×, measured
+    ~2× stage cost.
+
+    ``dict_df``: a pre-built (and typically persisted) dictionary from
+    ``build_alias_dict`` — callers that probe repeatedly, or benchmarks
+    that charge dictionary construction to its own stage, pass it to
+    skip the in-line build. ``profiles`` still selects the similarity
+    formula (overlap coefficient with trained profiles, token Jaccard
+    without)."""
     if aliases_hint not in ("broadcast", "auto"):
         raise ValueError(f"unknown aliases_hint: {aliases_hint}")
-    # the documented aliases schema is (alias, page_title, QID, TYPE,
-    # proba); a wikidata column is optional and defaults to the QID
-    # (round-3 review: every caller was forced to hand-patch it)
-    if "wikidata" not in aliases.columns:
-        aliases = aliases.withColumn("wikidata", F.col("QID"))
 
     def sized(df):
         return F.broadcast(df) if aliases_hint == "broadcast" else df
 
-    # profiles are keyed by page_title like the alias dictionary — join
-    # them into the DICTIONARY once (dict-sized × profile) instead of a
-    # second join over the full candidate table (round-4 el_stages.link
-    # profiling: that join was a whole extra pass over the big side)
-    if profiles is not None:
-        aliases = aliases.join(profiles, "page_title", "left")
+    # profiles are keyed by page_title like the alias dictionary — they
+    # fold into the DICTIONARY once (dict-sized joins; round-4
+    # el_stages.link profiling: a candidate-table profile join was a
+    # whole extra pass over the big side)
+    dict_agg = (
+        build_alias_dict(aliases, profiles) if dict_df is None else dict_df
+    )
 
     norm_surface = F.replace(F.col("surface"), F.lit(" "), F.lit("_"))
-    probe = mentions.withColumn("_alias", norm_surface)
-    if profiles is not None:
-        # tokenize each mention's sentence ONCE on the probe side — as a
-        # post-join expression it would re-split the context string per
-        # candidate row (~k× redundant work)
-        probe = probe.withColumn(
-            "_ctx",
-            F.array_distinct(F.split(F.lower(F.col("context")), r"[\s_]+")),
-        )
+    probe = mentions.withColumn("_alias", norm_surface).withColumn(
+        # tokenize each mention's sentence ONCE per mention — never per
+        # candidate row
+        "_ctx",
+        F.array_distinct(F.split(F.lower(F.col("context")), r"[\s_]+")),
+    )
     cand = probe.join(
-        sized(aliases.withColumnRenamed("alias", "_alias")),
-        "_alias",
-        "left",
+        sized(dict_agg.withColumnRenamed("alias", "_alias")), "_alias", "left"
     )
 
-    matched_flag = F.col("page_title").isNotNull()
+    ctx = F.col("_ctx")
     if profiles is not None:
-        ctx = F.col("_ctx")
-        prof = F.coalesce(F.col("profile"), F.array())
-        inter = F.size(F.array_intersect(ctx, prof)).cast("double")
-        denom = F.greatest(F.least(F.size(ctx), F.size(prof)), F.lit(1)).cast(
-            "double"
-        )
-        context_sim = inter / denom  # overlap coefficient
+        # overlap coefficient vs the entity's trained term profile
+        def context_sim(c):
+            inter = F.size(F.array_intersect(ctx, c["profile"])).cast("double")
+            denom = F.greatest(
+                F.least(F.size(ctx), F.size(c["profile"])), F.lit(1)
+            ).cast("double")
+            return inter / denom
     else:
-        context_sim = _token_jaccard(F.col("context"), F.col("page_title"))
-    scored = cand.withColumn(
-        "proba",
-        F.when(
-            matched_flag,
-            F.round(
-                (1 - context_weight) * F.coalesce(F.col("proba"), F.lit(0.0))
-                + context_weight * context_sim,
-                6,
-            ),
-        ).otherwise(F.lit(None)),
-    )
+        # token-set Jaccard vs the title tokens (profile column above)
+        def context_sim(c):
+            inter = F.size(F.array_intersect(ctx, c["profile"])).cast("double")
+            union = F.size(F.array_union(ctx, c["profile"])).cast("double")
+            return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
-    # one windowed pass serves BOTH the ranking and the sentinel rows
-    # (ned.py:81): a mention with no candidate at/above threshold emits
-    # one '-' row — no second anti-join over the mention table. Both
-    # window functions share ONE (partition, order) spec so Spark plans
-    # a single Window node over a single sort, and ranked + sentinel
-    # rows are emitted by one conditional projection instead of a union
-    # of two branches (a union would recompute the whole candidate-join
-    # + scoring subplan twice — it did, round 3 plan audit).
-    w = W.partitionBy("on_page_id", "entity_id").orderBy(
-        F.col("proba").desc_nulls_last(), F.col("page_title").asc_nulls_last()
+    def score(c):
+        p = F.round(
+            (1 - context_weight) * c["prior"] + context_weight * context_sim(c),
+            6,
+        )
+        # leading fields are the sort keys: score desc (negated, asc),
+        # then page_title asc — the same order the per-candidate window
+        # used, so ranks are value-identical
+        return F.struct(
+            (-p).alias("_negp"),
+            c["page_title"].alias("page_title"),
+            c["wikidata"].alias("wikidata"),
+            p.alias("proba"),
+        )
+
+    scored = F.sort_array(
+        F.filter(
+            F.transform(F.coalesce(F.col("_cands"), F.array()), score),
+            lambda c: c["proba"] >= threshold,
+        )
     )
-    whole = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ok = matched_flag & (F.col("proba") >= threshold)
-    scored = scored.withColumn("rank", F.row_number().over(w)).withColumn(
-        "_n_ok", F.sum(F.when(ok, 1).otherwise(0)).over(whole)
+    # a mention with no candidate at/above threshold emits the
+    # reference's one sentinel row (ned.py:81): posexplode_OUTER turns
+    # the empty ranked array into exactly one NULL row, projected to the
+    # '-' sentinel below — no union branch, no anti-join, and the score
+    # chain is evaluated once per mention
+    exploded = cand.select(
+        "entity_id", "on_page_id", "on_page", "gt",
+        F.posexplode_outer(scored).alias("_pos", "_c"),
     )
-    is_sentinel = (F.col("_n_ok") == 0) & (F.col("rank") == 1)
-    return scored.filter(ok | is_sentinel).select(
+    is_sent = F.col("_pos").isNull()
+    return exploded.select(
         "entity_id",
-        F.when(is_sentinel, F.lit("-")).otherwise(F.col("page_title")).alias(
-            "page_title"
-        ),
-        F.when(is_sentinel, F.lit("-"))
-        .otherwise(F.coalesce(F.col("wikidata"), F.col("QID")))
-        .alias("wikidata"),
-        F.when(is_sentinel, F.lit(0.0)).otherwise(F.col("proba")).alias(
+        F.when(is_sent, F.lit("-")).otherwise(
+            F.col("_c.page_title")
+        ).alias("page_title"),
+        F.when(is_sent, F.lit("-")).otherwise(
+            F.col("_c.wikidata")
+        ).alias("wikidata"),
+        F.when(is_sent, F.lit(0.0)).otherwise(F.col("_c.proba")).alias(
             "proba"
         ),
         "on_page_id",
         "on_page",
         "gt",
-        F.when(is_sentinel, F.lit(1)).otherwise(F.col("rank")).alias("rank"),
+        F.coalesce(F.col("_pos") + 1, F.lit(1)).alias("rank"),
     )
 
 
