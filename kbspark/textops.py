@@ -394,26 +394,42 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
             for i in range(16)
         ],
     )
-    # 64 vote sums as one wide aggregation: a single shuffle of
-    # (doc_id, 64 longs) partials instead of a 64-row-per-token lane
-    # explode + two shuffles (measured ~3x on the sf0.1 bench)
-    vote_cols = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"_nib{b // 4}"), b % 4).bitwiseAND(
-                    F.lit(1)
+    # Packed vote aggregation (VERDICT r04 stretch #8): vote(bit) =
+    # Σ(+n if bit else -n) = 2·S_bit − T with S_bit = Σ n·bit and
+    # T = Σ n, so only the SET-bit sums are aggregated — and two of
+    # them ride in one long (32-bit lanes; S_bit ≤ Σn per doc < 2^31,
+    # so lanes can't carry into each other and the packed sum can't
+    # overflow for any doc under ~10^9 tokens). One shuffle of
+    # (doc_id, 33 longs) partials instead of 64 conditional sums —
+    # half the shuffle row, no per-bit branches (the earlier 64-lane
+    # row explode was ~3x worse still).
+    packed_cols = []
+    for i in range(16):
+        nib = F.col(f"_nib{i}")
+        for pair in range(2):  # nibble bits (2*pair, 2*pair + 1)
+            lo = F.shiftright(nib, 2 * pair).bitwiseAND(F.lit(1)).cast(
+                "long"
+            ) * F.col("n")
+            hi = F.shiftleft(
+                F.shiftright(nib, 2 * pair + 1).bitwiseAND(F.lit(1)).cast(
+                    "long"
                 )
-                == 1,
-                F.col("n"),
-            ).otherwise(-F.col("n"))
-        ).alias(f"_v{b}")
-        for b in range(64)
-    ]
-    sums = tok.groupBy("doc_id").agg(*vote_cols)
-    bit_chars = [
-        F.when(F.col(f"_v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(64)
-    ]
+                * F.col("n"),
+                32,
+            )
+            packed_cols.append(F.sum(lo + hi).alias(f"_p{i}_{pair}"))
+    sums = tok.groupBy("doc_id").agg(F.sum("n").alias("_t"), *packed_cols)
+    bit_chars = []
+    for b in range(64):  # signature position b = md5 nibble b//4, bit b%4
+        s = F.col(f"_p{b // 4}_{(b % 4) // 2}")
+        s_bit = (
+            F.shiftright(s, 32)
+            if b % 2
+            else s.bitwiseAND(F.lit(0xFFFFFFFF))
+        )
+        bit_chars.append(
+            F.when(2 * s_bit > F.col("_t"), F.lit("1")).otherwise(F.lit("0"))
+        )
     return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))
 
 
