@@ -146,15 +146,6 @@ def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
     )
 
 
-def _token_jaccard(a, b):
-    """Jaccard of whitespace/underscore token sets — JVM-side."""
-    ta = F.array_distinct(F.split(F.lower(a), r"[\s_]+"))
-    tb = F.array_distinct(F.split(F.lower(b), r"[\s_]+"))
-    inter = F.size(F.array_intersect(ta, tb)).cast("double")
-    union = F.size(F.array_union(ta, tb)).cast("double")
-    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-
-
 def entity_context_profiles(spans: DataFrame, top_k: int = 50) -> DataFrame:
     """Per-entity context term profiles (the E10 context-similarity
     model): for every labeled mention, count the terms of its sentence

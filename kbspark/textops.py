@@ -634,6 +634,15 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
         .select("node", F.col("node").alias("label"))
     )
     converged = False
+    # labels are node ids and every step is a min over (own label,
+    # neighbor labels, label's label), so each node's label is MONOTONE
+    # non-increasing — the label sum strictly decreases until the fixed
+    # point. Comparing sums is therefore an exact convergence test and
+    # replaces the per-round join + isEmpty (a whole extra shuffle) with
+    # one map-side aggregate (round 5).
+    label_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iterations):
         via_u = edges.join(
             labels.withColumnRenamed("node", "_u"), "_u"
@@ -658,15 +667,13 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                 "node", F.coalesce(F.col("_ll"), F.col("label")).alias("label")
             )
         )
-        converged = (
-            prop.join(
-                labels.withColumnRenamed("label", "_old"), "node"
-            )
-            .filter(F.col("label") != F.col("_old"))
-            .isEmpty()
-        )
-        # the new round is checkpointed and the convergence check (the
-        # last consumer of the old labels) has run — release its blocks
+        new_sum = prop.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        converged = new_sum == label_sum
+        label_sum = new_sum
+        # the new round is checkpointed and the convergence check has
+        # run; nothing references the old labels anymore — release them
         release_rdd_ids(spark, label_ids)
         labels, label_ids = prop, prop_ids
         if converged:

@@ -43,6 +43,15 @@ def canon_cell(v):
         # round FIRST: 2.9999999996 and 3.0 must canonicalize alike
         # (round-3 review: the integer fast path ran before rounding)
         r = round(v, 9)
+        # ...then clamp to 13 SIGNIFICANT digits: DuckDB's decimal->double
+        # cast double-rounds (int128 -> double, then / 10^scale) and can
+        # land 1 ulp away from Spark's correctly-rounded cast. At sf0.01
+        # magnitudes the 9-decimal round absorbs that; at sf0.1 a 10-digit
+        # money sum has ulp ~5e-7 and the two engines' representations
+        # diverge in the 17th significant digit (found by the round-5
+        # full-contract sf0.1 run: q1 sum_disc_price). 13 significant
+        # digits still checks money to sub-cent at billions.
+        r = float(f"{r:.13g}")
         if r == int(r):
             return str(int(r))
         return repr(r)
