@@ -242,12 +242,14 @@ def main() -> None:
     pipe_sentinel_after = sentinel()
 
     # Working-set stress for the 100-TB frame-dim path (VERDICT r04 #5):
-    # the same replicated ~200k-doc corpus through flagship triples AND
-    # full EL on BOTH dim strategies (dict vs dim_collect_cap=1 frames) —
-    # frame-vs-dict throughput measured where the working set, not stage
-    # fixed overhead, dominates. One run each (the sentinel pair brackets
-    # the block for noise adjudication); dims still derive from sf_dir,
-    # exactly like the dict-path pipeline above.
+    # replicated corpora through flagship triples AND full EL on BOTH
+    # dim strategies (dict vs dim_collect_cap=1 frames) — frame-vs-dict
+    # throughput measured where the working set, not stage fixed
+    # overhead, dominates. Triples run at the full 200k-doc corpus; EL
+    # (spans + profiles + probe over every page — ~8x the per-doc cost
+    # of triples) runs at a 60k-doc replication so the block fits the
+    # bench budget while still amortizing the fixed dims 12x. One run
+    # each; sentinels bracket every run for noise adjudication.
     from kbspark.jobs import flagship_triples
 
     working_set: dict[str, float] = {}
@@ -258,19 +260,30 @@ def main() -> None:
         flagship_triples(spark, sf_dir, dim_collect_cap=cap,
                          pages_df=replicated).count()
         working_set[f"triples_{label}_secs"] = round(time.time() - t0, 3)
+        working_set[f"triples_{label}_docs_per_sec"] = round(
+            n_docs / working_set[f"triples_{label}_secs"], 1
+        )
         ws_sentinels.append(sentinel())
+    replicated.unpersist()
+    el_pages = (
+        pages.crossJoin(spark.range(12).withColumnRenamed("id", "_rep"))
+        .withColumn("url", F.concat_ws("#", "url", F.col("_rep").cast("string")))
+        .drop("_rep")
+        .repartition(cpus * 4)
+    ).persist()
+    n_el_docs = el_pages.count()
     for label, cap in (("dict", None), ("frames", 1)):
         reset_memos()
         t0 = time.time()
         entity_linking_job(spark, sf_dir, dim_collect_cap=cap,
-                           pages_df=replicated).count()
+                           pages_df=el_pages).count()
         working_set[f"el_{label}_secs"] = round(time.time() - t0, 3)
-        ws_sentinels.append(sentinel())
-    for k in list(working_set):
-        working_set[k.replace("_secs", "_docs_per_sec")] = round(
-            n_docs / working_set[k], 1
+        working_set[f"el_{label}_docs_per_sec"] = round(
+            n_el_docs / working_set[f"el_{label}_secs"], 1
         )
-    replicated.unpersist()
+        ws_sentinels.append(sentinel())
+    working_set["el_docs"] = n_el_docs
+    el_pages.unpersist()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
