@@ -114,12 +114,20 @@ def main() -> None:
     # of this bench run; cross-round throughput drift that tracks the
     # sentinel is co-tenant noise, drift that doesn't is a plan change —
     # machine-adjudicable from the JSON alone.
+    all_sentinels: list[float] = []
+
     def sentinel() -> float:
         t0 = time.time()
         spark.range(100_000_000).selectExpr("sum(hash(id)) as s").collect()
-        return round(time.time() - t0, 3)
+        s = round(time.time() - t0, 3)
+        # every sentinel of the whole bench feeds the denominator: a
+        # wave covering one block must not make a later block's index
+        # read clean (round-5 review — s_min was headline-only)
+        all_sentinels.append(s)
+        return s
 
-    sentinel()  # one throwaway: JIT + codegen cache for the sentinel itself
+    sentinel()
+    all_sentinels.clear()  # throwaway: JIT + codegen for the sentinel itself
 
     # best-of-N per query with memos cleared before EVERY run: this box
     # has multi-minute co-tenant noise waves (BENCH/BASELINE.md); the min
@@ -153,12 +161,6 @@ def main() -> None:
                 wruns.append(round(time.time() - t0, 3))
             warm[name] = min(wruns)
     sentinels.append(sentinel())
-
-    s_min = min(sentinels)
-    noise_index = {
-        name: round((sentinels[i] + sentinels[i + 1]) / (2 * s_min), 2)
-        for i, name in enumerate(HEADLINE)
-    }
 
     total = round(sum(timings.values()), 3)
 
@@ -206,9 +208,7 @@ def main() -> None:
     _link(spans, mined, profiles=prof, aliases_hint="auto",
           dict_df=dict_df).count()
     el_stages["link"] = round(time.time() - t0, 3)
-    el_stages["noise_index"] = round(
-        (el_sentinel_before + sentinel()) / (2 * s_min), 2
-    )
+    el_sentinel_after = sentinel()
     dict_df.unpersist()
     spans.unpersist()
 
@@ -224,13 +224,22 @@ def main() -> None:
 
     entity_types, redirect_targets = dims_from_documents(spark, sf_dir)
     pages = pages_from_documents(spark, sf_dir)
-    replicated = (
-        pages.crossJoin(spark.range(40).withColumnRenamed("id", "_rep"))
-        .withColumn("url", F.concat_ws("#", "url", F.col("_rep").cast("string")))
-        .drop("_rep")
-        .repartition(cpus * 4)
-    )
-    replicated = replicated.persist()
+
+    def replicate(k: int):
+        """k-fold page replication with disambiguated urls, persisted —
+        shared by the pipeline-throughput and working-set corpora so the
+        two can't silently diverge in shape (round-5 review)."""
+        return (
+            pages.crossJoin(spark.range(k).withColumnRenamed("id", "_rep"))
+            .withColumn(
+                "url", F.concat_ws("#", "url", F.col("_rep").cast("string"))
+            )
+            .drop("_rep")
+            .repartition(cpus * 4)
+            .persist()
+        )
+
+    replicated = replicate(40)
     n_docs = replicated.count()  # materialize the input before the clock
     pipe_sentinel_before = sentinel()
     t0 = time.time()
@@ -265,12 +274,7 @@ def main() -> None:
         )
         ws_sentinels.append(sentinel())
     replicated.unpersist()
-    el_pages = (
-        pages.crossJoin(spark.range(12).withColumnRenamed("id", "_rep"))
-        .withColumn("url", F.concat_ws("#", "url", F.col("_rep").cast("string")))
-        .drop("_rep")
-        .repartition(cpus * 4)
-    ).persist()
+    el_pages = replicate(12)
     n_el_docs = el_pages.count()
     for label, cap in (("dict", None), ("frames", 1)):
         reset_memos()
@@ -284,6 +288,17 @@ def main() -> None:
         ws_sentinels.append(sentinel())
     working_set["el_docs"] = n_el_docs
     el_pages.unpersist()
+
+    # all measurement done — the global fastest sentinel is now known;
+    # compute every noise index against it
+    s_min = min(all_sentinels)
+    noise_index = {
+        name: round((sentinels[i] + sentinels[i + 1]) / (2 * s_min), 2)
+        for i, name in enumerate(HEADLINE)
+    }
+    el_stages["noise_index"] = round(
+        (el_sentinel_before + el_sentinel_after) / (2 * s_min), 2
+    )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {
@@ -301,6 +316,7 @@ def main() -> None:
                           "~1.0 clean window, >1.3 co-tenant wave",
         "noise_index": noise_index,
         "sentinel_secs": sentinels,
+        "sentinel_all": all_sentinels,
         "sentinel_min": s_min,
         "el_stages": el_stages,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -234,9 +234,14 @@ class Catalog:
         if not entries:
             raise FileNotFoundError(f"catalog table not found: {table}")
         dfs = []
-        plain = [e["path"] for e in entries if "path" in e]
-        if plain:
-            dfs.append(self.spark.read.parquet(*plain))
+        # one DataFrame per plain SNAPSHOT (not one multi-path read):
+        # spark.read.parquet(*paths) silently picks one file's schema
+        # and NULL-fills the rest, so drift between two appends would
+        # bypass the drift guard below (round-5 review) — per-snapshot
+        # reads route every snapshot pair through the strict unionByName
+        for e in entries:
+            if "path" in e:
+                dfs.append(self.spark.read.parquet(e["path"]))
         # staged-partition entries group by base so the partition column
         # is reconstructed from the directory names
         by_base: dict[str, list[str]] = {}

@@ -58,35 +58,60 @@ _TABLES = (
     "embeddings"
 ).split()
 
-#: applicationId -> sf_dir the temp views currently point at. Views are
-#: (re)registered only when the target dir changes — re-reading 10
+#: applicationId -> (sf_dir, {table: analyzed-plan fingerprint}). Views
+#: are (re)registered only when the target dir changes — re-reading 10
 #: parquet schemas before every one of ~50 contract queries charged the
-#: metadata reads to whatever query ran next (round-4 review). A dict,
-#: not a set: alternating sf_dirs must re-point the views every switch.
-_VIEWS_AT: dict[str, str] = {}
+#: metadata reads to whatever query ran next (round-4 review). The plan
+#: fingerprints close the memo's blind spot (ADVICE r04): out-of-band
+#: createOrReplaceTempView('documents', ...) or dropTempView is detected
+#: per query (analyzing a registered view is driver-side catalyst work
+#: on the cached relation — no parquet re-read) and triggers
+#: re-registration instead of silently reading the wrong data.
+_VIEWS_AT: dict[str, tuple[str, dict[str, str]]] = {}
 
 
 def invalidate_views(spark: SparkSession) -> None:
-    """Drop the view memo for this Spark app — call after replacing or
-    dropping any of the ten contract temp views out-of-band (e.g. a test
-    registering its own 'documents'), so the next contract query
-    re-registers instead of silently reading the wrong data (ADVICE
-    r04)."""
+    """Drop the view memo for this Spark app so the next contract query
+    re-registers all ten views. The memo self-heals via plan
+    fingerprints (see ``_VIEWS_AT``); this hook remains for callers that
+    want the re-registration charged to a known point instead of the
+    next query."""
     _VIEWS_AT.pop(spark.sparkContext.applicationId, None)
+
+
+def _plan_fingerprint(spark: SparkSession, table: str) -> str:
+    """Stable identity of the registered temp view's plan. The session
+    catalog's getTempView is a map lookup on the already-stored plan
+    object (~2ms via py4j) — ~6x cheaper than spark.table(), which
+    builds and re-analyzes a new Dataset; the memo check runs before
+    every timed contract query, so this is on the measured path."""
+    try:
+        opt = spark._jsparkSession.sessionState().catalog().getTempView(table)
+        if not opt.isDefined():
+            raise KeyError(table)
+        return opt.get().toString()
+    except KeyError:
+        raise
+    except Exception:  # internal API moved — fall back to the public path
+        return spark.table(table)._jdf.queryExecution().analyzed().toString()
 
 
 def _load_views(spark: SparkSession, sf_dir: str) -> None:
     app = spark.sparkContext.applicationId
-    if _VIEWS_AT.get(app) == sf_dir and all(
-        # catalog existence probes are metadata-only (no parquet schema
-        # read); they catch out-of-band dropTempView without re-charging
-        # ~10 schema reads to every query (ADVICE r04)
-        spark.catalog.tableExists(t) for t in _TABLES
-    ):
-        return
+    memo = _VIEWS_AT.get(app)
+    if memo is not None and memo[0] == sf_dir:
+        try:
+            if all(
+                _plan_fingerprint(spark, t) == memo[1][t] for t in _TABLES
+            ):
+                return
+        except Exception:
+            pass  # dropped/broken view -> fall through and re-register
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _VIEWS_AT[app] = sf_dir
+    _VIEWS_AT[app] = (
+        sf_dir, {t: _plan_fingerprint(spark, t) for t in _TABLES}
+    )
 
 
 # Import side-effect registration of all query groups. queries_graph

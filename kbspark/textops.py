@@ -639,10 +639,22 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     # non-increasing — the label sum strictly decreases until the fixed
     # point. Comparing sums is therefore an exact convergence test and
     # replaces the per-round join + isEmpty (a whole extra shuffle) with
-    # one map-side aggregate (round 5).
-    label_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))
-    ).collect()[0][0]
+    # one map-side aggregate (round 5). Sums need NUMERIC ids (string
+    # ids would crash the decimal cast under ANSI, or NULL-converge
+    # under non-ANSI — round-5 review); non-numeric id types keep the
+    # type-agnostic join + isEmpty check.
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(
+        labels.schema["label"].dataType, NumericType
+    )
+
+    def _label_sum(df):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    label_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iterations):
         via_u = edges.join(
             labels.withColumnRenamed("node", "_u"), "_u"
@@ -667,11 +679,18 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                 "node", F.coalesce(F.col("_ll"), F.col("label")).alias("label")
             )
         )
-        new_sum = prop.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        converged = new_sum == label_sum
-        label_sum = new_sum
+        if numeric_ids:
+            new_sum = _label_sum(prop)
+            converged = new_sum == label_sum
+            label_sum = new_sum
+        else:
+            converged = (
+                prop.join(
+                    labels.withColumnRenamed("label", "_old"), "node"
+                )
+                .filter(F.col("label") != F.col("_old"))
+                .isEmpty()
+            )
         # the new round is checkpointed and the convergence check has
         # run; nothing references the old labels anymore — release them
         release_rdd_ids(spark, label_ids)

@@ -119,12 +119,21 @@ def merge_curve(prior_curve: list, new_points: list) -> list:
 
 def main() -> None:
     curve_points = []
-    if os.environ.get("SCALING_SKIP_HEADLINE"):
+    skip_headline = bool(os.environ.get("SCALING_SKIP_HEADLINE"))
+    if skip_headline:
         # sweep-only invocation (the 600s task cap can't fit headline +
         # sweep in one run): the 300k headline + summary carry forward
         # from the prior scaling.json via the merge block below.
         with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
             prior0 = json.load(f)
+        if not prior0.get("scaling_efficiency"):
+            # without a real prior headline the carry block below would
+            # have nothing to restore and the fabricated 0.0 would be
+            # PUBLISHED as 'efficiency 0.000 FAIL' (round-5 review)
+            raise SystemExit(
+                "SCALING_SKIP_HEADLINE needs a prior scaling.json with a "
+                "recorded headline — run the default mode first"
+            )
         n, n4 = prior0["N"], prior0["4N"]
         eff = 0.0  # forces the merge block to carry the prior summary
         pairs = [{"N": n, "4N": n4, "efficiency": eff}]
@@ -203,11 +212,15 @@ def main() -> None:
             with open(path) as f:
                 prior = json.load(f)
             history = prior.get("history", [])
-            history.append(
-                {"efficiency": prior.get("scaling_efficiency"),
-                 "pairs": prior.get("all_pairs"),
-                 "pages": prior.get("n_pages")}
-            )
+            if not skip_headline:
+                # a sweep-only run measured no headline — appending the
+                # prior summary again would fabricate a duplicate
+                # "measurement" per invocation (round-5 review)
+                history.append(
+                    {"efficiency": prior.get("scaling_efficiency"),
+                     "pairs": prior.get("all_pairs"),
+                     "pages": prior.get("n_pages")}
+                )
             prior_curve = prior.get("working_set_curve", [])
             if (prior.get("scaling_efficiency") or 0) > eff:
                 # carry the prior measurement's FULL context so the

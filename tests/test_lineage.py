@@ -112,6 +112,27 @@ def test_catalog_atomic_overwrite(spark, tmp_path):
     assert cat.read("t").count() == 3
 
 
+def test_catalog_schema_drift_fails_loudly(spark, tmp_path):
+    """Two plain snapshots with different DATA columns must fail read()
+    loudly, not NULL-fill (ADVICE r04 + round-5 review: a single
+    multi-path parquet read silently picked one file's schema, so drift
+    between two appends bypassed the drift guard)."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.append("t", spark.createDataFrame([(1, "a")], "id long, name string"))
+    cat.append(
+        "t", spark.createDataFrame([(2, "b")], "id long, full_name string")
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        cat.read("t").collect()
+    # same schema appends still union fine
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    cat2.append("u", spark.createDataFrame([(1, "a")], "id long, name string"))
+    cat2.append("u", spark.createDataFrame([(2, "b")], "id long, name string"))
+    assert cat2.read("u").count() == 2
+
+
 def test_vacuum_orphan_stages(spark, tmp_path):
     """A crash between staging and the first commit orphans the stage
     dir; the next run_stage GCs it (ADVICE r02). Committed bases are

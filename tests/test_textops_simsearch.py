@@ -381,3 +381,25 @@ def test_dup_clusters_long_chain_converges(spark):
     rows = out.collect()
     assert len(rows) == 71
     assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_dup_clusters_string_ids(spark):
+    """dup_clusters is documented as the survivor-selection step for ANY
+    pair family — doc ids can be urls/hashes, not just longs. The
+    round-5 sum-based convergence shortcut must fall back to the
+    type-agnostic check for non-numeric ids (review finding: the decimal
+    cast crashed under ANSI and silently converged after one round under
+    non-ANSI on a >3-hop string chain)."""
+    import pandas as pd
+
+    from kbspark.textops import dup_clusters
+
+    # >3-hop chain: the exact shape the silent-convergence bug returned
+    # wrong labels for
+    pairs = [(f"u{i}", f"u{i+1}") for i in range(8)] + [("zz", "zy")]
+    out = dup_clusters(
+        spark.createDataFrame(pd.DataFrame(pairs, columns=["doc_a", "doc_b"]))
+    ).collect()
+    labels = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert {labels[f"u{i}"] for i in range(9)} == {"u0"}
+    assert labels["zz"] == labels["zy"] == "zy"
