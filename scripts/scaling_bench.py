@@ -340,10 +340,21 @@ Tuning notes that mattered at high worker counts:
 recorded per-round by the driver as BENCH_r*.json. Per-query numbers are
 best-of-N COLD runs (all cross-query memos reset before every run, so
 the headline is first-run-comparable across rounds); warm-session times
-are reported separately as `queries_warm`. The flagship `kg_triples`
+are reported separately as `queries_warm`. Every query, the el_stages
+block, the pipeline and the working-set block are bracketed by a fixed
+100M-row hash+sum sentinel; `noise_index` = mean(adjacent sentinels) /
+fastest sentinel of the whole run (~1.0 = clean window, >1.3 = the
+documented co-tenant wave), so cross-round deltas are machine-
+adjudicable: throughput drift that tracks the sentinel is noise, drift
+that does not is a plan change. The flagship `kg_triples`
 includes corpus derivation + full extraction + triple build; the
 `kg_triples_dimframes` / `kg_el_frames` entries time the no-collect
-frame-dim path (the 100-TB regime) next to the dict path.
+frame-dim path (the 100-TB regime) next to the dict path; the
+working-set block runs replicated corpora (200k docs for triples, 60k
+for EL) through BOTH dim strategies — round-5 measurement: the frame
+path is FASTER than the dict path on EL at working-set scale (per-page
+link maps from relational joins beat the in-batch python dict probe),
+reproduced in two windows.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
