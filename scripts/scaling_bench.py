@@ -351,10 +351,12 @@ includes corpus derivation + full extraction + triple build; the
 `kg_triples_dimframes` / `kg_el_frames` entries time the no-collect
 frame-dim path (the 100-TB regime) next to the dict path; the
 working-set block runs replicated corpora (200k docs for triples, 60k
-for EL) through BOTH dim strategies — round-5 measurement: the frame
-path is FASTER than the dict path on EL at working-set scale (per-page
-link maps from relational joins beat the in-batch python dict probe),
-reproduced in two windows.
+for EL) through BOTH dim strategies — round-5 measurement: on EL the
+frame path ran at-or-below the dict path's cost in four separate
+windows (stage decomposition in a clean window: the dict path wins the
+annotate stage ~3x, the frame path wins the link stage back; net ~1.0-
+1.4x in frames' favor, magnitude noise-sensitive). The 100-TB path
+costs no premium on EL at working-set scale.
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
