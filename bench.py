@@ -175,7 +175,7 @@ def main() -> None:
         build_alias_dict as _dict,
         entity_context_profiles as _profiles,
         link_entities as _link,
-        mention_spans as _spans,
+        mention_spans_sql as _spans,
         mine_anchor_aliases as _mine,
     )
     from kbspark.triples import entity_dim_df as _dim_df

@@ -155,7 +155,7 @@ def entity_linking_job(spark: SparkSession, sf_dir: str,
     from kbspark.linking import (
         entity_context_profiles,
         link_entities,
-        mention_spans,
+        mention_spans_sql,
         mine_anchor_aliases,
     )
     from kbspark.triples import entity_dim_df
@@ -168,7 +168,11 @@ def entity_linking_job(spark: SparkSession, sf_dir: str,
                           pages_df=pages_df)
     # one full-corpus extraction pass: spans feed BOTH candidate mining
     # (surface->gt pairs) and linking — no second mention_stage scan
-    spans = persist_tracked(mention_spans(tagged))
+    # JVM span extraction (mention_spans_sql): value-identical to the
+    # pandas version (parity-tested) but never ships the nested tagged
+    # table through Arrow — measured 1.6-1.7x faster at a 60k-doc
+    # working set, and it removes EL's second python stage entirely
+    spans = persist_tracked(mention_spans_sql(tagged))
 
     from kbspark.triples import redirect_alias_frame
 

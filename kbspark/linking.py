@@ -85,6 +85,118 @@ def mention_spans(tagged: DataFrame) -> DataFrame:
     return tagged.mapInPandas(run, schema=MENTION_SCHEMA)
 
 
+def mention_spans_sql(tagged: DataFrame) -> DataFrame:
+    """E9 span grouping as pure Catalyst array expressions — the JVM
+    twin of ``mention_spans`` (value-identical; parity-tested).
+
+    The pandas version ships the ENTIRE tagged table (nested
+    array<array<string>> columns) through Arrow to python workers and
+    back — at working-set scale that transfer dominates the EL
+    pipeline's wall-clock (round-5 decomposition: spans was the largest
+    stage on both dim paths). Here each page row is folded in place:
+    ``aggregate`` over the zipped (token, tag, link) triples of each
+    sentence rebuilds the exact B-/I- state machine (a dangling I-
+    without an open span is ignored, like the python loop), sentences'
+    span lists are flattened in order so the per-page mention ordinal is
+    just the position in the flattened array, and one ``posexplode``
+    emits the rows. Zero python, zero shuffle, and nothing leaves the
+    JVM."""
+    span_t = "array<struct<surface:string,etype:string,gt:string>>"
+
+    def sentence_spans(s):
+        toks = F.arrays_zip(s["text"], s["tags"], s["link_titles"])
+        init = F.struct(
+            F.array().cast(span_t).alias("spans"),
+            F.array().cast("array<string>").alias("toks"),
+            F.lit("").alias("etype"),
+            F.lit("").alias("gt"),
+        )
+
+        def fin(acc):
+            return F.struct(
+                F.array_join(acc["toks"], " ").alias("surface"),
+                acc["etype"].alias("etype"),
+                acc["gt"].alias("gt"),
+            )
+
+        def step(acc, t):
+            tag, tok, link = t["tags"], t["text"], t["link_titles"]
+            is_b = tag.startswith("B-")
+            is_i = tag.startswith("I-")
+            has_cur = F.size(acc["toks"]) > 0
+            spans = F.when(
+                has_cur & ~(is_i & ~is_b),
+                F.concat(acc["spans"], F.array(fin(acc))),
+            ).otherwise(acc["spans"])
+            toks_new = (
+                F.when(is_b, F.array(tok))
+                .when(is_i & has_cur, F.concat(acc["toks"], F.array(tok)))
+                .otherwise(F.array().cast("array<string>"))
+            )
+            etype = (
+                F.when(is_b, F.substring(tag, 3, 64))
+                .when(is_i & has_cur, acc["etype"])
+                .otherwise(F.lit(""))
+            )
+            gt = (
+                F.when(is_b, link)
+                .when(is_i & has_cur, acc["gt"])
+                .otherwise(F.lit(""))
+            )
+            return F.struct(
+                spans.alias("spans"), toks_new.alias("toks"),
+                etype.alias("etype"), gt.alias("gt"),
+            )
+
+        return F.aggregate(
+            toks, init, step,
+            lambda acc: F.when(
+                F.size(acc["toks"]) > 0,
+                F.concat(acc["spans"], F.array(fin(acc))),
+            ).otherwise(acc["spans"]),
+        )
+
+    sentences = F.arrays_zip("text", "tags", "link_titles")
+    per_sentence = F.transform(
+        sentences,
+        lambda s: F.struct(
+            F.array_join(s["text"], " ").alias("context"),
+            sentence_spans(s).alias("spans"),
+        ),
+    )
+    flat = F.flatten(
+        F.transform(
+            per_sentence,
+            lambda s: F.transform(
+                s["spans"],
+                lambda sp: F.struct(
+                    sp["surface"].alias("surface"),
+                    sp["etype"].alias("etype"),
+                    sp["gt"].alias("gt"),
+                    s["context"].alias("context"),
+                ),
+            ),
+        )
+    )
+    exploded = tagged.select(
+        F.col("url").alias("on_page_id"),
+        F.col("page_title").alias("on_page"),
+        F.posexplode(flat).alias("_ord", "_sp"),
+    )
+    return exploded.select(
+        "on_page_id",
+        "on_page",
+        F.concat_ws(
+            "-", F.col("_sp.surface"), F.col("_sp.etype"),
+            F.col("_ord").cast("string")
+        ).alias("entity_id"),
+        F.col("_sp.surface").alias("surface"),
+        F.col("_sp.etype").alias("etype"),
+        F.col("_sp.gt").alias("gt"),
+        F.col("_sp.context").alias("context"),
+    )
+
+
 def mine_anchor_aliases(mentions: DataFrame, entity_dim: DataFrame,
                         surface_col: str = "surface",
                         target_col: str = "page_title",

@@ -49,6 +49,58 @@ def test_mention_spans_grouping(spark):
     assert row["entity_id"] == "Franz Kafka-PER-0"
 
 
+def test_mention_spans_sql_parity(spark):
+    """mention_spans_sql (pure Catalyst state machine) must be
+    value-identical to the pandas version on a real annotated corpus —
+    same rows, same columns, same ordinals — plus the tricky state
+    transitions on a hand-built page (dangling I- without an open span,
+    span cut by O, back-to-back B- spans, multi-sentence ordinals,
+    empty trailing sentence)."""
+    from kbspark.linking import mention_spans_sql
+
+    _, _, _, tagged = _tagged(spark)
+    key = ["on_page_id", "entity_id"]
+    a = mention_spans(tagged).toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        mention_spans_sql(tagged).toPandas().sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+    tricky = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1"],
+                "page_title": ["P1"],
+                "text": [[
+                    ["Lost", "Franz", "Kafka", "und", "Anna", "Bern"],
+                    ["Paris", "ist", "gross", "."],
+                    [],
+                ]],
+                "tags": [[
+                    ["I-PER", "B-PER", "I-PER", "O", "B-PER", "B-LOC"],
+                    ["B-LOC", "O", "O", "O"],
+                    [],
+                ]],
+                "link_titles": [[
+                    ["x", "Kafka", "Kafka", "", "Anna", "Bern"],
+                    ["Paris", "", "", ""],
+                    [],
+                ]],
+            }
+        )
+    )
+    a = mention_spans(tricky).toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        mention_spans_sql(tricky).toPandas().sort_values(key)
+        .reset_index(drop=True)
+    )
+    # dangling I- ignored; 'Franz Kafka', 'Anna', 'Bern', 'Paris' = 4
+    assert len(a) == 4
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_linking_end_to_end_pr(spark):
     pages, entity_types, redirects, tagged = _tagged(spark)
     spans = mention_spans(tagged)
