@@ -110,7 +110,7 @@ def main() -> None:
     # python workers; sized so its own run-to-run variance is small
     # against scheduler jitter) timed before every query and once at the
     # end. The
-    # per-query noise_index = mean(adjacent sentinels) / fastest sentinel
+    # per-query noise_index = max(bracketing sentinels) / fastest sentinel
     # of this bench run; cross-round throughput drift that tracks the
     # sentinel is co-tenant noise, drift that doesn't is a plan change —
     # machine-adjudicable from the JSON alone.
@@ -292,12 +292,16 @@ def main() -> None:
     # all measurement done — the global fastest sentinel is now known;
     # compute every noise index against it
     s_min = min(all_sentinels)
+    # MAX of the two bracketing sentinels, not the mean: a query that
+    # starts inside a wave which recedes before the trailing sentinel
+    # would otherwise read half-clean (observed: a 7x-inflated run with
+    # a mean-index of 2.5 while the leading sentinel showed 4.9x)
     noise_index = {
-        name: round((sentinels[i] + sentinels[i + 1]) / (2 * s_min), 2)
+        name: round(max(sentinels[i], sentinels[i + 1]) / s_min, 2)
         for i, name in enumerate(HEADLINE)
     }
     el_stages["noise_index"] = round(
-        (el_sentinel_before + el_sentinel_after) / (2 * s_min), 2
+        max(el_sentinel_before, el_sentinel_after) / s_min, 2
     )
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -312,7 +316,7 @@ def main() -> None:
         "bench_protocol": "memos reset before every run; min of N cold "
                           "runs (first-run-comparable); queries_warm = "
                           "min of N runs with memos warm; noise_index = "
-                          "mean(adjacent sentinel times)/min sentinel — "
+                          "max(bracketing sentinel times)/min sentinel — "
                           "~1.0 clean window, >1.3 co-tenant wave",
         "noise_index": noise_index,
         "sentinel_secs": sentinels,
@@ -327,12 +331,10 @@ def main() -> None:
         "docs_per_sec": round(n_docs / kg_secs, 1) if kg_secs else None,
         "triples_per_sec": round(n_triples / kg_secs, 1) if kg_secs else None,
         "pipeline_noise_index": round(
-            (pipe_sentinel_before + pipe_sentinel_after) / (2 * s_min), 2
+            max(pipe_sentinel_before, pipe_sentinel_after) / s_min, 2
         ),
         "working_set_200k": working_set,
-        "working_set_noise_index": round(
-            sum(ws_sentinels) / (len(ws_sentinels) * s_min), 2
-        ),
+        "working_set_noise_index": round(max(ws_sentinels) / s_min, 2),
         "cpus": cpus,
     }
     print(json.dumps(result))

@@ -342,7 +342,7 @@ best-of-N COLD runs (all cross-query memos reset before every run, so
 the headline is first-run-comparable across rounds); warm-session times
 are reported separately as `queries_warm`. Every query, the el_stages
 block, the pipeline and the working-set block are bracketed by a fixed
-100M-row hash+sum sentinel; `noise_index` = mean(adjacent sentinels) /
+100M-row hash+sum sentinel; `noise_index` = max(bracketing sentinels) /
 fastest sentinel of the whole run (~1.0 = clean window, >1.3 = the
 documented co-tenant wave), so cross-round deltas are machine-
 adjudicable: throughput drift that tracks the sentinel is noise, drift
