@@ -100,6 +100,10 @@ def _load_views(spark: SparkSession, sf_dir: str) -> None:
     app = spark.sparkContext.applicationId
     memo = _VIEWS_AT.get(app)
     if memo is not None and memo[0] == sf_dir:
+        if memo[1] is None:
+            # fingerprinting unavailable on this runtime (see below):
+            # memo on (app, sf_dir) alone — the pre-round-5 behavior
+            return
         try:
             if all(
                 _plan_fingerprint(spark, t) == memo[1][t] for t in _TABLES
@@ -109,9 +113,24 @@ def _load_views(spark: SparkSession, sf_dir: str) -> None:
             pass  # dropped/broken view -> fall through and re-register
     for t in _TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-    _VIEWS_AT[app] = (
-        sf_dir, {t: _plan_fingerprint(spark, t) for t in _TABLES}
-    )
+    try:
+        fps = {t: _plan_fingerprint(spark, t) for t in _TABLES}
+    except Exception:
+        # both fingerprint paths need classic-Spark internals (_jdf /
+        # _jsparkSession); on a runtime without them (e.g. Connect)
+        # registration must still succeed and the memo must still
+        # short-circuit — warn ONCE and degrade to the sf_dir-only memo
+        # instead of crashing every query or silently re-reading 10
+        # parquet schemas per query (round-5 review)
+        import warnings
+
+        warnings.warn(
+            "contract view fingerprinting unavailable — out-of-band "
+            "view replacement will not be auto-detected this session",
+            stacklevel=2,
+        )
+        fps = None
+    _VIEWS_AT[app] = (sf_dir, fps)
 
 
 # Import side-effect registration of all query groups. queries_graph

@@ -103,8 +103,18 @@ def mention_spans_sql(tagged: DataFrame) -> DataFrame:
     JVM."""
     span_t = "array<struct<surface:string,etype:string,gt:string>>"
 
+    def _zip_truncating(a, b, c):
+        # python's zip TRUNCATES to the shortest input; arrays_zip
+        # NULL-PADS to the longest, and a null tag would silently drop
+        # an open span instead of closing it (round-5 review, verified
+        # on a hand-built ragged row). Slicing the ZIPPED array to the
+        # common length reproduces zip exactly (and keeps arrays_zip's
+        # field names, which slicing the inputs would destroy).
+        n = F.least(F.size(a), F.size(b), F.size(c))
+        return F.slice(F.arrays_zip(a, b, c), 1, n)
+
     def sentence_spans(s):
-        toks = F.arrays_zip(s["text"], s["tags"], s["link_titles"])
+        toks = _zip_truncating(s["text"], s["tags"], s["link_titles"])
         init = F.struct(
             F.array().cast(span_t).alias("spans"),
             F.array().cast("array<string>").alias("toks"),
@@ -133,8 +143,11 @@ def mention_spans_sql(tagged: DataFrame) -> DataFrame:
                 .when(is_i & has_cur, F.concat(acc["toks"], F.array(tok)))
                 .otherwise(F.array().cast("array<string>"))
             )
+            # etype unbounded like the pandas twin's tag[2:] — a fixed
+            # length cap would silently truncate long type names
+            # (round-5 review)
             etype = (
-                F.when(is_b, F.substring(tag, 3, 64))
+                F.when(is_b, tag.substr(F.lit(3), F.length(tag)))
                 .when(is_i & has_cur, acc["etype"])
                 .otherwise(F.lit(""))
             )
@@ -156,7 +169,11 @@ def mention_spans_sql(tagged: DataFrame) -> DataFrame:
             ).otherwise(acc["spans"]),
         )
 
-    sentences = F.arrays_zip("text", "tags", "link_titles")
+    # sentence-level raggedness truncates too (python zips the three
+    # page arrays)
+    sentences = _zip_truncating(
+        F.col("text"), F.col("tags"), F.col("link_titles")
+    )
     per_sentence = F.transform(
         sentences,
         lambda s: F.struct(

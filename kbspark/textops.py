@@ -639,14 +639,17 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     # non-increasing — the label sum strictly decreases until the fixed
     # point. Comparing sums is therefore an exact convergence test and
     # replaces the per-round join + isEmpty (a whole extra shuffle) with
-    # one map-side aggregate (round 5). Sums need NUMERIC ids (string
-    # ids would crash the decimal cast under ANSI, or NULL-converge
-    # under non-ANSI — round-5 review); non-numeric id types keep the
-    # type-agnostic join + isEmpty check.
-    from pyspark.sql.types import NumericType
+    # one map-side aggregate (round 5). Sums need INTEGRAL ids: string
+    # ids would crash the decimal cast under ANSI or NULL-converge under
+    # non-ANSI, and FRACTIONAL ids (float/double/scaled decimal) round
+    # to the same integer under decimal(38,0), blinding the sum to
+    # sub-integer label changes — a 10.01..10.09 double chain "converged"
+    # after round 1 with silently wrong clusters (round-5 reviews).
+    # Every other id type keeps the type-agnostic join + isEmpty check.
+    from pyspark.sql.types import IntegralType
 
     numeric_ids = isinstance(
-        labels.schema["label"].dataType, NumericType
+        labels.schema["label"].dataType, IntegralType
     )
 
     def _label_sum(df):

@@ -124,8 +124,11 @@ def main() -> None:
         # sweep-only invocation (the 600s task cap can't fit headline +
         # sweep in one run): the 300k headline + summary carry forward
         # from the prior scaling.json via the merge block below.
-        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
-            prior0 = json.load(f)
+        try:
+            with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+                prior0 = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prior0 = {}
         if not prior0.get("scaling_efficiency"):
             # without a real prior headline the carry block below would
             # have nothing to restore and the fabricated 0.0 would be

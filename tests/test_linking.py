@@ -100,6 +100,32 @@ def test_mention_spans_sql_parity(spark):
     assert len(a) == 4
     pd.testing.assert_frame_equal(a, b)
 
+    # ragged arrays: python's zip truncates to the shortest input at
+    # BOTH levels (tokens within a sentence, sentences within a page);
+    # arrays_zip null-pads, which silently dropped an open span before
+    # the round-5 fix — both implementations must truncate identically
+    ragged = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u1"],
+                "page_title": ["P1"],
+                "text": [[
+                    ["Franz", "Kafka", "extra"],
+                    ["orphan", "sentence"],
+                ]],
+                "tags": [[["B-PER", "I-PER"]]],
+                "link_titles": [[["Kafka", "Kafka", "", ""]]],
+            }
+        )
+    )
+    a = mention_spans(ragged).toPandas().sort_values(key).reset_index(drop=True)
+    b = (
+        mention_spans_sql(ragged).toPandas().sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) == 1 and a.iloc[0]["surface"] == "Franz Kafka"
+    pd.testing.assert_frame_equal(a, b)
+
 
 def test_linking_end_to_end_pr(spark):
     pages, entity_types, redirects, tagged = _tagged(spark)
