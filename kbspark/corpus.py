@@ -168,6 +168,43 @@ def synth_corpus_df(spark, n_pages: int, seed: int = 42,
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
+def spread_small_scan(df, spark, target: int | None = None):
+    """Repartition a SMALL scan across the session's cores — and ONLY a
+    small one (optimization guide §2.2/§6): a parquet file under
+    ``maxPartitionBytes`` arrives as ONE split, so every narrow map stage
+    downstream (clean/tokenize/annotate mapInPandas, shingle/minhash
+    array expressions, map-side partial aggregation) runs on a single
+    core of ``local[N]`` until the first exchange.
+
+    Scale-adaptive by construction, not tuned to the bench: the gate
+    reads Catalyst's size estimate for the plan (driver-side statistics,
+    no job) and leaves any input big enough to already split into >=
+    ``target`` scan partitions untouched — at cluster scale (the 100-TB
+    regime) this is a structural no-op, while a dictionary-sized input
+    pays one trivial shuffle of itself to unlock full-width map
+    parallelism. ``target`` defaults to the session's default
+    parallelism (cores), never a constant."""
+    target = target or spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        try:
+            maxpb = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(
+                    spark.conf.get("spark.sql.files.maxPartitionBytes")
+                )
+            )
+        except Exception:
+            maxpb = 128 * 1024 * 1024
+    except Exception:  # size estimate unavailable (e.g. Connect) — leave
+        return df
+    if size >= target * maxpb:
+        return df
+    return df.repartition(target)
+
+
 def _doc_to_markup(doc_id: int, text: str) -> str:
     """Inject wiki markup into a document deterministically (pure function
     of doc_id + token position; no RNG, no collect — safe to run
@@ -196,7 +233,9 @@ def _doc_to_markup(doc_id: int, text: str) -> str:
 def pages_from_documents(spark, sf_dir: str):
     """documents.parquet → input_hint-shaped pages DataFrame (url, warc_ts,
     html, text, lang); markup injected deterministically per doc."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         epoch = _dt.datetime(2024, 1, 1)
@@ -250,7 +289,9 @@ def words_from_documents(spark, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _WORDS_CACHE:
         return _WORDS_CACHE[key]
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spread_small_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
+    )
     wdf = words_table(docs).persist()
     while _WORDS_CACHE:
         try:
