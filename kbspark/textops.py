@@ -374,11 +374,18 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     wdf = words if words is not None else words_table(
         docs, id_col=id_col, text_col=text_col
     )
-    tok = wdf.select("doc_id", F.explode("_w").alias("w"))
-    # collapse repeated tokens first: the 64-lane explode then runs on
-    # (doc, DISTINCT token) rows with count weights — ~10x fewer rows on
-    # natural text, identical vote sums
-    tok = tok.groupBy("doc_id", "w").agg(F.count("*").alias("n")).withColumn(
+    # Per-OCCURRENCE votes, one doc-keyed aggregation (r06, guide §2.3/
+    # §2.4): the earlier (doc_id, w) pre-aggregation deduplicated tokens
+    # before hashing, but it shuffled every distinct (doc, token) STRING
+    # row and left the md5/nibble parsing on the post-shuffle side —
+    # where AQE coalesces the byte-small exchange to few partitions, so
+    # the hash work ran nearly single-threaded. Hashing each occurrence
+    # directly keeps all md5/nibble/vote work map-side on the scan
+    # partitions and the only exchange carries 33 longs per doc.
+    # Vote sums are identical (Σ over occurrences of weight 1 == Σ over
+    # distinct tokens of weight n), so the DuckDB oracle holds verbatim.
+    # Interleaved A/B at sf0.1: 1.1-1.7s -> 0.6-0.7s with exact parity.
+    tok = wdf.select("doc_id", F.explode("_w").alias("w")).withColumn(
         "hex", F.md5("w")
     )
     # hoist the 16 hex-nibble parses into one projection so the 64 vote
@@ -386,7 +393,6 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     # re-parse the digest 64x per row)
     tok = tok.select(
         "doc_id",
-        "n",
         *[
             F.conv(F.substring("hex", i + 1, 1), 16, 10)
             .cast("int")
@@ -395,30 +401,27 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         ],
     )
     # Packed vote aggregation (VERDICT r04 stretch #8): vote(bit) =
-    # Σ(+n if bit else -n) = 2·S_bit − T with S_bit = Σ n·bit and
-    # T = Σ n, so only the SET-bit sums are aggregated — and two of
-    # them ride in one long (32-bit lanes; S_bit ≤ Σn per doc < 2^31,
-    # so lanes can't carry into each other and the packed sum can't
-    # overflow for any doc under ~10^9 tokens). One shuffle of
-    # (doc_id, 33 longs) partials instead of 64 conditional sums —
-    # half the shuffle row, no per-bit branches (the earlier 64-lane
-    # row explode was ~3x worse still).
+    # Σ(+1 if bit else -1) = 2·S_bit − T with S_bit = Σ bit and
+    # T = token count, so only the SET-bit sums are aggregated — and two
+    # of them ride in one long (32-bit lanes; S_bit ≤ T per doc, and T
+    # is guarded < 2^31 below, so lanes can't carry into each other and
+    # the packed sum can't overflow). One shuffle of (doc_id, 33 longs)
+    # partials instead of 64 conditional sums.
     packed_cols = []
     for i in range(16):
         nib = F.col(f"_nib{i}")
         for pair in range(2):  # nibble bits (2*pair, 2*pair + 1)
             lo = F.shiftright(nib, 2 * pair).bitwiseAND(F.lit(1)).cast(
                 "long"
-            ) * F.col("n")
+            )
             hi = F.shiftleft(
                 F.shiftright(nib, 2 * pair + 1).bitwiseAND(F.lit(1)).cast(
                     "long"
-                )
-                * F.col("n"),
+                ),
                 32,
             )
             packed_cols.append(F.sum(lo + hi).alias(f"_p{i}_{pair}"))
-    sums = tok.groupBy("doc_id").agg(F.sum("n").alias("_t"), *packed_cols)
+    sums = tok.groupBy("doc_id").agg(F.count("*").alias("_t"), *packed_cols)
     bit_chars = []
     for b in range(64):  # signature position b = md5 nibble b//4, bit b%4
         s = F.col(f"_p{b // 4}_{(b % 4) // 2}")
@@ -430,7 +433,23 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         bit_chars.append(
             F.when(2 * s_bit > F.col("_t"), F.lit("1")).otherwise(F.lit("0"))
         )
-    return sums.select("doc_id", F.concat(*bit_chars).alias("simhash"))
+    # enforce the documented 2^31 token bound instead of silently
+    # corrupting the packed lanes (ADVICE r05): assert_true raises on
+    # the first over-bound doc; it returns NULL when the bound holds, so
+    # the when() wrapper evaluates it exactly once per doc and then
+    # yields the signature unchanged.
+    guard = F.assert_true(
+        F.col("_t") < F.lit(2**31),
+        F.concat(
+            F.lit("simhash64: doc "), F.col("doc_id").cast("string"),
+            F.lit(" has >= 2^31 tokens; packed 32-bit vote lanes would "
+                  "overflow"),
+        ),
+    )
+    return sums.select(
+        "doc_id",
+        F.when(guard.isNull(), F.concat(*bit_chars)).alias("simhash"),
+    )
 
 
 def simhash_block_table(sig: DataFrame, n_blocks: int = 4) -> DataFrame:
