@@ -325,15 +325,36 @@ def vocab_titles(spark, sf_dir: str):
     )
 
 
+#: per-(session, sf_dir) persisted DataFrame dims for the frame path —
+#: the frame pipelines reference the entity dim in up to ~6 join
+#: subtrees per query (resolve precedence joins, triple families, alias
+#: frames); without materialization EVERY reference re-executes the full
+#: words-scan -> explode -> distinct -> TYPE pipeline (r06 plan audit:
+#: 21 parquet scans / 42 MapInPandas nodes in one kg_el_frames plan).
+#: Same lifecycle as _WORDS_CACHE: bounded to the most recent entry,
+#: cleared by session.reset_memos.
+_DIMFRAME_CACHE: dict[tuple, tuple] = {}
+
+
 def dim_frames_from_documents(spark, sf_dir: str):
     """The scale path: entity/redirect dims as DataFrames — nothing is
     ever collected to the driver. Returns ``(entity_dim, redirect_dim)``
     with entity_dim = (page_title, TYPE, QID) and redirect_dim =
     (alias, page_title). TYPE is computed inside an Arrow batch so its
-    byte-sum semantics stay identical to the dict path."""
+    byte-sum semantics stay identical to the dict path.
+
+    The entity dim is persisted and memoized per (session, sf_dir):
+    every frame-path query joins it several times, and at 100 TB
+    materializing the corpus-derived dictionary once (the reference
+    writes its dictionary before tagging, ner.py:254-256) beats
+    re-deriving it per join subtree by the width of the corpus scan."""
     from pyspark.sql import functions as F
 
     from kbspark.triples import qid_col
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _DIMFRAME_CACHE:
+        return _DIMFRAME_CACHE[key]
 
     def typed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -346,11 +367,17 @@ def dim_frames_from_documents(spark, sf_dir: str):
 
     ent = vocab_titles(spark, sf_dir).mapInPandas(
         typed, schema="page_title string, TYPE string"
-    ).withColumn("QID", qid_col())
+    ).withColumn("QID", qid_col()).persist()
     red = ent.select(
         F.concat(F.col("page_title"), F.lit("_redir")).alias("alias"),
         "page_title",
     )
+    while _DIMFRAME_CACHE:
+        try:
+            _DIMFRAME_CACHE.popitem()[1][0].unpersist()
+        except Exception:
+            pass  # entry from a stopped session — nothing to release
+    _DIMFRAME_CACHE[key] = (ent, red)
     return ent, red
 
 

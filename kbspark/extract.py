@@ -734,7 +734,7 @@ def link_target_stage(pages_df, text_col: str = "text",
 
 def page_link_maps(pages_df, spark, entity_dim, redirect_dim,
                    text_col: str = "text", broadcast_dims: bool = True,
-                   already_clean: bool = False):
+                   already_clean: bool = False, targets=None):
     """Per-page resolution maps for the frame-dim annotate path: the
     DISTINCT raw link targets of every page are resolved by relational
     joins (``_with_resolved_frames``), then folded back into one small
@@ -743,12 +743,17 @@ def page_link_maps(pages_df, spark, entity_dim, redirect_dim,
     O(100), so the per-page map is tiny regardless of corpus size and
     the dictionary itself never reaches the driver or the workers as a
     whole object. The only shuffle is the final per-page fold
-    (``link_target_stage`` dedups in-batch)."""
+    (``link_target_stage`` dedups in-batch).
+
+    ``targets``: optional pre-extracted (url, _target) frame (distinct
+    per page) — ``annotate_stage_frames`` passes the targets its clean
+    pass already scanned so no second python hop re-reads the pages."""
     from pyspark.sql import functions as F
 
-    targets = link_target_stage(
-        pages_df, text_col=text_col, already_clean=already_clean
-    )
+    if targets is None:
+        targets = link_target_stage(
+            pages_df, text_col=text_col, already_clean=already_clean
+        )
     resolved = _with_resolved_frames(
         targets, "_target", entity_dim, redirect_dim, broadcast_dims
     )
@@ -784,12 +789,19 @@ def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
     resolver reads that map. Output is value-identical to the dict path
     (asserted in tests/test_dims_frames.py)."""
 
+    from pyspark.sql import functions as F
+
     from kbspark.session import persist_tracked
 
     # E1 runs ONCE per page (round-3 review: the target scan and the
     # annotate pass each ran the full clean_text cascade — 2x the
-    # dominant extraction cost). One narrow stage cleans while carrying
-    # the annotate columns; both consumers read the persisted result.
+    # dominant extraction cost), and the SAME python pass extracts each
+    # page's distinct raw link targets (r06, guide §4.1): the separate
+    # link_target_stage hop shipped every cleaned page through Arrow to
+    # python a second time just to re-run the wikilink finditer the
+    # annotate pass runs anyway. One narrow stage cleans + scans targets
+    # while carrying the annotate columns; both consumers read the
+    # persisted result.
     cols = ["url"]
     if title_col != "url":
         cols.append(title_col)
@@ -800,21 +812,34 @@ def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
     def clean_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {c: pdf[c] for c in cols}
-            out["_cleaned"] = pdf[text_col].map(clean_text)
+            cleaned = pdf[text_col].map(clean_text)
+            out["_cleaned"] = cleaned
+            # dict.fromkeys = in-batch dedup preserving first-occurrence
+            # order, exactly like link_target_stage's seen-set loop
+            out["_targets"] = [
+                list(
+                    dict.fromkeys(
+                        _raw_target(m) for m in _WIKILINK.finditer(c)
+                    )
+                )
+                for c in cleaned
+            ]
             yield pd.DataFrame(out)
 
     cleaned = persist_tracked(
         pages_df.select(*cols, text_col).mapInPandas(
-            clean_run, schema=passthrough_schema + ", _cleaned string"
+            clean_run,
+            schema=passthrough_schema
+            + ", _cleaned string, _targets array<string>",
         )
     )
 
+    targets = cleaned.select("url", F.explode("_targets").alias("_target"))
     maps = page_link_maps(
         cleaned, spark, entity_dim, redirect_dim,
-        text_col="_cleaned", broadcast_dims=broadcast_dims,
-        already_clean=True,
+        broadcast_dims=broadcast_dims, targets=targets,
     )
-    enriched = cleaned.join(maps, "url", "left")
+    enriched = cleaned.drop("_targets").join(maps, "url", "left")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

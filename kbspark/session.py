@@ -164,6 +164,13 @@ def reset_memos() -> int:
         except Exception:
             pass
     corpus._WORDS_CACHE.clear()
+    for ent, _red in list(corpus._DIMFRAME_CACHE.values()):
+        try:
+            ent.unpersist()
+            n += 1
+        except Exception:
+            pass
+    corpus._DIMFRAME_CACHE.clear()
     corpus._DIM_CACHE.clear()
     return n + release_tracked()
 
