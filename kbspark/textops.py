@@ -111,23 +111,36 @@ def lsh_band_table(docs: DataFrame | None = None, n_hashes: int = 8,
     if shingles_df is None:
         wdf = words if words is not None else words_table(docs)
         shingles_df = shingles_from_words(wdf, n=shingle_n)
-    sig = _minhash_from_shingles(shingles_df, n_hashes=n_hashes)
-    packed = sig.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("band", "minhash"))).alias("_bm")
+    # build band keys straight off the WIDE min columns of the signature
+    # aggregation (r06, guide §2.4): the signature agg already emits one
+    # row per doc with _m0.._m{n-1} in band order, so the earlier
+    # posexplode -> groupBy(doc_id) -> array_sort(collect_list) round
+    # trip re-aggregated rows it had just exploded — one whole exchange
+    # + sort for nothing. Key VALUES are unchanged ('m_i|m_j|...' in
+    # band order), so the replayed-signature oracle holds verbatim.
+    exploded = shingles_df.select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))
+        ).alias(f"_m{h}")
+        for h in range(n_hashes)
+    ]
+    wide = exploded.groupBy("doc_id").agg(*mins)
     keys = F.array(
         *[
-            F.array_join(
-                F.transform(
-                    F.slice("_bm", i * rows_per_band + 1, rows_per_band),
-                    lambda x: x["minhash"],
-                ),
+            F.concat_ws(
                 "|",
+                *[
+                    F.col(f"_m{i * rows_per_band + j}")
+                    for j in range(rows_per_band)
+                ],
             )
             for i in range(n_bands)
         ]
     )
-    return packed.select("doc_id", keys.alias("band_keys")).select(
+    return wide.select("doc_id", keys.alias("band_keys")).select(
         "doc_id",
         "band_keys",
         F.posexplode("band_keys").alias("band_id", "band_key"),
