@@ -840,6 +840,15 @@ def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
         broadcast_dims=broadcast_dims, targets=targets,
     )
     enriched = cleaned.drop("_targets").join(maps, "url", "left")
+    # the heavy python tokenize/tag pass below consumes the JOIN output,
+    # whose post-shuffle partitioning AQE coalesces by BYTES — a
+    # dictionary-sized corpus collapses to ~1 partition and the annotate
+    # stage runs single-core (r06 interleaved A/B: frames tagged chain
+    # 4.7-4.9s -> 2.7-3.2s with the re-spread). Same size gate as the
+    # scan spread: a big corpus is left untouched.
+    from kbspark.corpus import spread_small_scan
+
+    enriched = spread_small_scan(enriched, spark)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
