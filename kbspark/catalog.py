@@ -242,23 +242,26 @@ class Catalog:
         for e in entries:
             if "path" in e:
                 dfs.append(self.spark.read.parquet(e["path"]))
-        # staged-partition entries group by base so the partition column
-        # is reconstructed from the directory names
-        by_base: dict[str, list[str]] = {}
+        # staged-partition entries are read PER ENTRY (ADVICE r05: the
+        # earlier per-base grouping merged all staged snapshots sharing
+        # one base into a single multi-path read, so data-column drift
+        # between two staged commits on the same base could still be
+        # silently NULL-filled by schema picking); the basePath option
+        # reconstructs the partition column from the directory names
         part_cols: set[str] = set()
         for e in entries:
             if e.get("paths"):
-                by_base.setdefault(e["base_path"], []).extend(e["paths"])
                 # part_col recorded since round 5; older manifests carry
                 # it only in the directory name ('col=value')
                 part_cols.add(
                     e.get("part_col")
                     or os.path.basename(e["paths"][0]).split("=", 1)[0]
                 )
-        for base, paths in by_base.items():
-            dfs.append(
-                self.spark.read.option("basePath", base).parquet(*paths)
-            )
+                dfs.append(
+                    self.spark.read.option(
+                        "basePath", e["base_path"]
+                    ).parquet(*e["paths"])
+                )
         if not dfs:
             raise FileNotFoundError(f"catalog table has no data: {table}")
         out = dfs[0]
@@ -277,6 +280,20 @@ class Catalog:
                     f"catalog table {table!r}: schema drift between "
                     f"snapshots on non-partition column(s) "
                     f"{sorted(diff - part_cols)}"
+                )
+            # name-level match is not enough (ADVICE r05): a column
+            # re-written with a different type would be silently
+            # up/cross-cast by unionByName — compare declared types too
+            t_out, t_d = dict(out.dtypes), dict(d.dtypes)
+            retyped = sorted(
+                c for c in set(out.columns) & set(d.columns)
+                if t_out[c] != t_d[c]
+            )
+            if retyped:
+                raise ValueError(
+                    f"catalog table {table!r}: type drift between "
+                    f"snapshots on column(s) "
+                    f"{[(c, t_out[c], t_d[c]) for c in retyped]}"
                 )
             out = out.unionByName(d, allowMissingColumns=bool(diff))
         return out

@@ -360,7 +360,15 @@ def build_alias_dict(
                 F.coalesce(F.col("proba"), F.lit(0.0)).alias("prior"),
                 prof_col.alias("profile"),
             )
-        ).alias("_cands")
+        ).alias(
+            # record HOW the profile column was built (ADVICE r05): a
+            # dict built without trained profiles probed under
+            # profiles!=None would silently score title tokens with the
+            # overlap-coefficient formula; link_entities asserts the
+            # flag matches before probing a prebuilt dict.
+            "_cands",
+            metadata={"with_profiles": profiles is not None},
+        )
     )
 
 
@@ -413,6 +421,18 @@ def link_entities(
     without)."""
     if aliases_hint not in ("broadcast", "auto"):
         raise ValueError(f"unknown aliases_hint: {aliases_hint}")
+    if dict_df is not None and "_cands" in dict_df.columns:
+        md = dict_df.schema["_cands"].metadata
+        if "with_profiles" in md and bool(md["with_profiles"]) != (
+            profiles is not None
+        ):
+            raise ValueError(
+                "dict_df was built with profiles="
+                f"{bool(md['with_profiles'])} but link_entities was "
+                f"called with profiles={profiles is not None}; the "
+                "similarity formula would silently mismatch — rebuild "
+                "the dictionary with the same profiles setting"
+            )
 
     def sized(df):
         return F.broadcast(df) if aliases_hint == "broadcast" else df

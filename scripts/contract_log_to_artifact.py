@@ -36,12 +36,21 @@ def parse(log_path: str) -> dict:
         rm = re.search(r"(\d+) rows", detail)
         if rm:
             rows = int(rm.group(1))
-        entries[name] = {
-            "status": "pass" if status == "ok" else "fail",
-            "rows": rows,
-            "secs": float(secs) if secs else None,
-            "detail": None if status == "ok" else detail,
-        }
+        # merge into any WARN-started entry instead of replacing it
+        # (ADVICE r05: an ok/FAIL after a WARN dropped the warn), and
+        # give WARN-only entries an explicit status below so they never
+        # render as 'None' or count as a silent non-pass
+        entry = entries.setdefault(name, {})
+        entry.update(
+            {
+                "status": "pass" if status == "ok" else "fail",
+                "rows": rows,
+                "secs": float(secs) if secs else None,
+                "detail": None if status == "ok" else detail,
+            }
+        )
+    for entry in entries.values():
+        entry.setdefault("status", "warn-only")
     return entries
 
 

@@ -133,6 +133,52 @@ def test_catalog_schema_drift_fails_loudly(spark, tmp_path):
     assert cat2.read("u").count() == 2
 
 
+def test_catalog_additive_column_is_rejected_by_design(spark, tmp_path):
+    """Pin the seam's chosen schema-evolution semantics (VERDICT r05
+    #6): real Iceberg ALLOWS additive nullable columns; this parquet+
+    manifest emulation intentionally FORBIDS them — every inter-snapshot
+    column-set difference outside the known partition column(s) fails
+    read() loudly. Rationale: without a real table-format catalog there
+    is no authoritative schema to evolve FROM, so 'additive column' and
+    'renamed column' (round-5's silent NULL-fill bug) are
+    indistinguishable at read time; strictness is the safe default.
+    Writers that need an additive column must backfill/rewrite the
+    table (Catalog.overwrite)."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.append("t", spark.createDataFrame([(1, "a")], "id long, name string"))
+    cat.append(
+        "t",
+        spark.createDataFrame(
+            [(2, "b", "x")], "id long, name string, extra string"
+        ),
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        cat.read("t").collect()
+    # the documented evolution path: overwrite with the new schema
+    cat.overwrite(
+        "t",
+        spark.createDataFrame(
+            [(3, "c", "y")], "id long, name string, extra string"
+        ),
+    )
+    assert cat.read("t").columns == ["id", "name", "extra"]
+
+
+def test_catalog_type_drift_fails_loudly(spark, tmp_path):
+    """Same column NAME re-written with a different TYPE must fail
+    read() (ADVICE r05: the name-only drift check let unionByName
+    silently cross-cast)."""
+    import pytest
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat.append("t", spark.createDataFrame([(1, "a")], "id long, name string"))
+    cat.append("t", spark.createDataFrame([("2", "b")], "id string, name string"))
+    with pytest.raises(ValueError, match="type drift"):
+        cat.read("t").collect()
+
+
 def test_vacuum_orphan_stages(spark, tmp_path):
     """A crash between staging and the first commit orphans the stage
     dir; the next run_stage GCs it (ADVICE r02). Committed bases are
