@@ -204,6 +204,129 @@ def main() -> None:
         entity_linking_job(spark, sf_dir).count()
         rec("el_full_cold", round(time.time() - t0, 3))
 
+    if want("ws_ab"):
+        # VERDICT r05 #3: settle frames-vs-dict EL at the 60k-doc
+        # working set with a strictly interleaved A/B/A/B protocol in
+        # ONE sentinel-bracketed window (the round-4/5 claims came from
+        # separate windows and disagreed by the noise envelope).
+        from kbspark.corpus import pages_from_documents
+        from kbspark.jobs import entity_linking_job
+
+        def sentinel() -> float:
+            t0 = time.time()
+            spark.range(100_000_000).selectExpr(
+                "sum(hash(id)) as s"
+            ).collect()
+            return round(time.time() - t0, 3)
+
+        pages = pages_from_documents(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        el_pages = (
+            pages.crossJoin(
+                spark.range(12).withColumnRenamed("id", "_rep")
+            )
+            .withColumn(
+                "url",
+                F.concat_ws("#", "url", F.col("_rep").cast("string")),
+            )
+            .drop("_rep")
+            .repartition(cpus * 4)
+            .persist()
+        )
+        n_docs = el_pages.count()
+        sents = [sentinel()]
+        pairs: dict[str, list[float]] = {"dict": [], "frames": []}
+        for _ in range(3):
+            for label, cap in (("dict", None), ("frames", 1)):
+                reset_memos()
+                t0 = time.time()
+                sc.setJobDescription(f"ws_ab el {label}")
+                entity_linking_job(
+                    spark, sf_dir, dim_collect_cap=cap, pages_df=el_pages
+                ).count()
+                pairs[label].append(round(time.time() - t0, 3))
+                sents.append(sentinel())
+        el_pages.unpersist()
+        rec("ws_el_ab", 0.0, docs=n_docs, dict=pairs["dict"],
+            frames=pairs["frames"], sentinels=sents,
+            noise_index=round(max(sents) / min(sents), 2))
+
+    if want("resume"):
+        # VERDICT r05 #7: one kill/rerun cycle of lineage.run_stage over
+        # the 200k-doc replicated corpus — marker overhead + resume cost
+        # at working-set scale (the kill/rerun tests pin VALUE identity
+        # at toy scale; this records the COST shape).
+        import shutil
+        import tempfile
+
+        from kbspark.catalog import Catalog
+        from kbspark.corpus import (
+            dims_from_documents,
+            pages_from_documents,
+        )
+        from kbspark.extract import mention_stage
+        from kbspark.lineage import run_stage
+        from pyspark.sql import functions as F
+
+        reset_memos()
+        ents, reds = dims_from_documents(spark, sf_dir)
+        pages = pages_from_documents(spark, sf_dir)
+        rep = (
+            pages.crossJoin(
+                spark.range(40).withColumnRenamed("id", "_rep")
+            )
+            .withColumn(
+                "url",
+                F.concat_ws("#", "url", F.col("_rep").cast("string")),
+            )
+            .drop("_rep")
+            .repartition(cpus * 4)
+            .persist()
+        )
+        n_docs = rep.count()
+
+        def transform(df):
+            return mention_stage(df, spark, ents, reds)
+
+        wh = tempfile.mkdtemp(prefix="kbspark_resume_")
+        try:
+            n_buckets, per_commit = 16, 4
+            sc.setJobDescription("resume: cold full run_stage")
+            t0 = time.time()
+            run_stage(Catalog(spark, wh + "/cold"), "mentions", rep,
+                      transform, "out", n_buckets=n_buckets,
+                      buckets_per_commit=per_commit)
+            cold = round(time.time() - t0, 3)
+            # partial run: commit only the first batch, then "crash"
+            cat2 = Catalog(spark, wh + "/resume")
+            sc.setJobDescription("resume: partial run (killed after 1 commit)")
+            t0 = time.time()
+            try:
+                run_stage(cat2, "mentions", rep, transform, "out",
+                          n_buckets=n_buckets,
+                          buckets_per_commit=per_commit,
+                          fail_after_commits=1)
+            except RuntimeError:
+                pass  # the injected kill
+            partial = round(time.time() - t0, 3)
+            sc.setJobDescription("resume: rerun after kill")
+            t0 = time.time()
+            run_stage(cat2, "mentions", rep, transform, "out",
+                      n_buckets=n_buckets, buckets_per_commit=per_commit)
+            resume = round(time.time() - t0, 3)
+            rows_cold = Catalog(spark, wh + "/cold").read("out").count()
+            rows_res = cat2.read("out").count()
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+        rep.unpersist()
+        rec("resume_200k", 0.0, docs=n_docs, cold_secs=cold,
+            partial_secs=partial, resume_secs=resume,
+            overhead_pct=round(
+                100 * (partial + resume - cold) / cold, 1
+            ),
+            rows_match=(rows_cold == rows_res))
+
     if want("triples"):
         reset_memos()
         from kbspark.jobs import flagship_triples
