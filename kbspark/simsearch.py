@@ -40,10 +40,18 @@ def knn_bruteforce(queries: DataFrame, corpus: DataFrame, k: int = 5,
                    round_to: int | None = 4) -> DataFrame:
     """Exact cosine top-k of ``corpus`` for each row of ``queries``
     (self-matches excluded). Output: (query_id, neighbor_id, cosine)."""
+    from kbspark.corpus import spread_small_scan
+
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("q_emb")
     )
-    c = corpus.select(
+    # the per-pair dot/norm folds run on the CORPUS side's scan
+    # partitions — a sub-split-size corpus file arrives as one split and
+    # serializes the whole score matrix on one core (r06; size-gated
+    # no-op for a corpus already wide enough). A/B: 0.44-0.70s -> 0.32-
+    # 0.41s at sf0.1 with exact parity (in-row folds are partitioning-
+    # independent; the top-k window tiebreak is deterministic).
+    c = spread_small_scan(corpus, corpus.sparkSession).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("c_emb"),
     )
