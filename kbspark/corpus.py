@@ -168,7 +168,8 @@ def synth_corpus_df(spark, n_pages: int, seed: int = 42,
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def spread_small_scan(df, spark, target: int | None = None):
+def spread_small_scan(df, spark, target: int | None = None,
+                      min_bytes_per_partition: int | None = None):
     """Repartition a SMALL scan across the session's cores — and ONLY a
     small one (optimization guide §2.2/§6): a parquet file under
     ``maxPartitionBytes`` arrives as ONE split, so every narrow map stage
@@ -183,7 +184,16 @@ def spread_small_scan(df, spark, target: int | None = None):
     regime) this is a structural no-op, while a dictionary-sized input
     pays one trivial shuffle of itself to unlock full-width map
     parallelism. ``target`` defaults to the session's default
-    parallelism (cores), never a constant."""
+    parallelism (cores), never a constant.
+
+    ``min_bytes_per_partition``: scale the fan-out with the data instead
+    of jumping straight to ``target`` — the effective target becomes
+    ``clamp(size / min_bytes_per_partition, 1, target)``. Right for
+    mid-pipeline re-spreads ahead of a python stage whose DOWNSTREAM
+    consumers are many small shuffle stages: a tiny input stays at 1-4
+    partitions (no 32-task scheduling amplification through the rest of
+    the plan) while a working-set-sized input still fans out to the full
+    core count (r06 interleaved bisect on the frame-dim tagged chain)."""
     target = target or spark.sparkContext.defaultParallelism
     try:
         size = int(
@@ -202,6 +212,10 @@ def spread_small_scan(df, spark, target: int | None = None):
         return df
     if size >= target * maxpb:
         return df
+    if min_bytes_per_partition:
+        target = max(1, min(target, size // min_bytes_per_partition))
+        if target <= 1:
+            return df
     return df.repartition(target)
 
 
@@ -230,12 +244,19 @@ def _doc_to_markup(doc_id: int, text: str) -> str:
     return " ".join(out) + " == Literatur == trailing"
 
 
-def pages_from_documents(spark, sf_dir: str):
+def pages_from_documents(spark, sf_dir: str, spread: bool = True):
     """documents.parquet → input_hint-shaped pages DataFrame (url, warc_ts,
-    html, text, lang); markup injected deterministically per doc."""
-    docs = spread_small_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet"), spark
-    )
+    html, text, lang); markup injected deterministically per doc.
+
+    ``spread=False`` skips the small-scan repartition: right for
+    consumers whose python work runs AFTER a shuffle boundary anyway
+    (the frame-dim tagged chain re-spreads before its tokenize pass), so
+    the extra task fan-out would only add scheduling overhead to the
+    intermediate join/fold stages (r06 interleaved bisect: the frames
+    chain ran ~1.4s faster with the scan left serial)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if spread:
+        docs = spread_small_scan(docs, spark)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         epoch = _dt.datetime(2024, 1, 1)

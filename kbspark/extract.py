@@ -842,13 +842,18 @@ def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
     enriched = cleaned.drop("_targets").join(maps, "url", "left")
     # the heavy python tokenize/tag pass below consumes the JOIN output,
     # whose post-shuffle partitioning AQE coalesces by BYTES — a
-    # dictionary-sized corpus collapses to ~1 partition and the annotate
-    # stage runs single-core (r06 interleaved A/B: frames tagged chain
-    # 4.7-4.9s -> 2.7-3.2s with the re-spread). Same size gate as the
-    # scan spread: a big corpus is left untouched.
+    # working-set corpus collapses to 1-2 partitions and the annotate
+    # stage runs nearly single-core (r06 interleaved A/B: frames tagged
+    # chain 4.7-4.9s -> 2.7-3.2s with the re-spread). The fan-out is
+    # size-scaled (~4MB of cleaned text per task, capped at cores) so a
+    # tiny corpus doesn't pay 32-task scheduling amplification through
+    # every downstream stage, and a big corpus is left untouched
+    # entirely (size gate).
     from kbspark.corpus import spread_small_scan
 
-    enriched = spread_small_scan(enriched, spark)
+    enriched = spread_small_scan(
+        enriched, spark, min_bytes_per_partition=4 * 1024 * 1024
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -118,17 +118,23 @@ def tagged_table(spark: SparkSession, sf_dir: str,
         # otherwise alternating three keys evicts the hottest table
         _TAGGED_CACHE[key] = _TAGGED_CACHE.pop(key)
         return _TAGGED_CACHE[key]
-    pages = pages_df if pages_df is not None else pages_from_documents(
-        spark, sf_dir
-    )
     kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
     dims = try_dims_from_documents(spark, sf_dir, **kw)
     if dims is None:
+        # frames chain: leave the scan serial — its python passes run
+        # after shuffle boundaries and annotate_stage_frames re-spreads
+        # before the tokenize pass (see pages_from_documents docstring)
+        pages = pages_df if pages_df is not None else pages_from_documents(
+            spark, sf_dir, spread=False
+        )
         entity_dim, redirect_dim = dim_frames_from_documents(spark, sf_dir)
         tagged = annotate_stage_frames(
             pages, spark, entity_dim, redirect_dim, broadcast_dims=False
         )
     else:
+        pages = pages_df if pages_df is not None else pages_from_documents(
+            spark, sf_dir
+        )
         entity_types, redirect_targets = dims
         tagged = annotate_stage(pages, spark, entity_types, redirect_targets)
     if use_cache:
