@@ -337,11 +337,21 @@ def vocab_titles(spark, sf_dir: str):
     once."""
     from pyspark.sql import functions as F
 
+    # filter + initcap + per-doc dedup IN-ROW before the explode (r06,
+    # guide §2.3 — aggregate before you shuffle): the distinct's
+    # map-side partial agg then reads one row per (doc, distinct title)
+    # instead of one per token occurrence. Values identical (same set);
+    # A/B parity-exact, ~5% at sf0.1, row-reduction grows with
+    # per-doc repetition at corpus scale.
+    arr = F.array_distinct(
+        F.transform(
+            F.filter(F.col("_w"), lambda t: F.length(t) >= 4),
+            lambda t: F.initcap(t),
+        )
+    )
     return (
         words_from_documents(spark, sf_dir)
-        .select(F.explode("_w").alias("w"))
-        .filter(F.length("w") >= 4)
-        .select(F.initcap("w").alias("title"))
+        .select(F.explode(arr).alias("title"))
         .distinct()
     )
 
