@@ -331,29 +331,32 @@ def _entity_type_of(title: str) -> str:
 
 def vocab_titles(spark, sf_dir: str):
     """Distinct >=4-char capitalized corpus vocabulary as a DataFrame
-    (column ``title``) — the shared input of both dim paths. Derives
-    from the session-shared token table (``words_from_documents``) so a
-    session that also runs the dedup families tokenizes the corpus
-    once."""
+    (column ``title``) — the shared input of both dim paths.
+
+    Derives straight from the documents scan rather than the persisted
+    words memo (r06): the memo's repartition + cache materialization is
+    pure overhead for a vocab-only consumer (A/B: 0.33s vs 0.54-0.75s
+    cold at sf0.1), the split itself is a trivial fraction of the scan,
+    and the RESULT is memoized anyway (_DIM_CACHE / _DIMFRAME_CACHE) so
+    a session derives the vocabulary at most once per dim path. The
+    dedup families keep sharing ``words_from_documents``."""
     from pyspark.sql import functions as F
 
     # filter + initcap + per-doc dedup IN-ROW before the explode (r06,
     # guide §2.3 — aggregate before you shuffle): the distinct's
     # map-side partial agg then reads one row per (doc, distinct title)
     # instead of one per token occurrence. Values identical (same set);
-    # A/B parity-exact, ~5% at sf0.1, row-reduction grows with
-    # per-doc repetition at corpus scale.
+    # A/B parity-exact, row-reduction grows with per-doc repetition at
+    # corpus scale.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.split(F.trim(F.col("text")), r"\s+")
     arr = F.array_distinct(
         F.transform(
-            F.filter(F.col("_w"), lambda t: F.length(t) >= 4),
+            F.filter(w, lambda t: F.length(t) >= 4),
             lambda t: F.initcap(t),
         )
     )
-    return (
-        words_from_documents(spark, sf_dir)
-        .select(F.explode(arr).alias("title"))
-        .distinct()
-    )
+    return docs.select(F.explode(arr).alias("title")).distinct()
 
 
 #: per-(session, sf_dir) persisted DataFrame dims for the frame path —
