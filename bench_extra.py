@@ -96,12 +96,14 @@ def main() -> None:
         t0 = time.time()
         dims_from_documents(spark, sf_dir)
         rec("dims_collect", round(time.time() - t0, 3))
-        # second call = words memo warm, isolates the vocab part
+        # second cold call in the same process (vocab derives straight
+        # from the scan since r06 — there is no words-memo warmup to
+        # isolate anymore; the delta vs the first call is JIT/codegen)
         from kbspark import corpus as _corpus
         _corpus._DIM_CACHE.clear()
         t0 = time.time()
         dims_from_documents(spark, sf_dir)
-        rec("dims_collect_warm_words", round(time.time() - t0, 3))
+        rec("dims_collect_2nd", round(time.time() - t0, 3))
 
     if want("pages"):
         reset_memos()

@@ -283,10 +283,15 @@ class Catalog:
                 )
             # name-level match is not enough (ADVICE r05): a column
             # re-written with a different type would be silently
-            # up/cross-cast by unionByName — compare declared types too
+            # up/cross-cast by unionByName — compare declared types too.
+            # Partition columns are exempt like they are in the name
+            # check: their types come from per-read directory-name
+            # inference, so two healthy staged entries (or a staged
+            # entry next to a plain snapshot) can legitimately disagree
+            # (r06 review finding).
             t_out, t_d = dict(out.dtypes), dict(d.dtypes)
             retyped = sorted(
-                c for c in set(out.columns) & set(d.columns)
+                c for c in (set(out.columns) & set(d.columns)) - part_cols
                 if t_out[c] != t_d[c]
             )
             if retyped:

@@ -193,7 +193,33 @@ def spread_small_scan(df, spark, target: int | None = None,
     consumers are many small shuffle stages: a tiny input stays at 1-4
     partitions (no 32-task scheduling amplification through the rest of
     the plan) while a working-set-sized input still fans out to the full
-    core count (r06 interleaved bisect on the frame-dim tagged chain)."""
+    core count (r06 interleaved bisect on the frame-dim tagged chain).
+
+    CAVEAT (r06 review): Catalyst's non-CBO size estimate is only
+    scan-accurate; a JOIN's estimate is the product of its children and
+    blows past any gate. Gate on a LEAF-adjacent plan (the scan, a
+    python stage directly over it) and, to re-spread a join output,
+    compute the target from the pre-join side via ``spread_target`` and
+    repartition the join output with it explicitly."""
+    n = spread_target(
+        df, spark, target=target,
+        min_bytes_per_partition=min_bytes_per_partition,
+    )
+    return df.repartition(n) if n else df
+
+
+def spread_target(df, spark, target: int | None = None,
+                  min_bytes_per_partition: int | None = None) -> int | None:
+    """The partition-count decision behind ``spread_small_scan``,
+    exposed so a caller can gate on one plan (whose Catalyst estimate
+    is trustworthy — a scan or a narrow stage over it) and apply the
+    repartition to another (e.g. a join output whose own estimate is a
+    meaningless product of child sizes). Returns None when no
+    repartition is warranted: the input is cluster-sized (size gate),
+    already splits into a meaningful fraction of ``target`` scan
+    partitions (>= half — a shuffle that adds < 2x parallelism is pure
+    cost, r06 review), or is too small to spread under
+    ``min_bytes_per_partition``."""
     target = target or spark.sparkContext.defaultParallelism
     try:
         size = int(
@@ -209,14 +235,18 @@ def spread_small_scan(df, spark, target: int | None = None,
         except Exception:
             maxpb = 128 * 1024 * 1024
     except Exception:  # size estimate unavailable (e.g. Connect) — leave
-        return df
-    if size >= target * maxpb:
-        return df
+        return None
+    # natural split count the scan would already get; spreading is only
+    # worth a full-data shuffle when it at least doubles parallelism
+    est_splits = size // maxpb + 1
+    if est_splits * 2 >= target:
+        return None
     if min_bytes_per_partition:
-        target = max(1, min(target, size // min_bytes_per_partition))
-        if target <= 1:
-            return df
-    return df.repartition(target)
+        n = max(1, min(target, size // min_bytes_per_partition))
+        if n <= 1:
+            return None
+        return n
+    return target
 
 
 def _doc_to_markup(doc_id: int, text: str) -> str:
@@ -249,11 +279,10 @@ def pages_from_documents(spark, sf_dir: str, spread: bool = True):
     html, text, lang); markup injected deterministically per doc.
 
     ``spread=False`` skips the small-scan repartition: right for
-    consumers whose python work runs AFTER a shuffle boundary anyway
-    (the frame-dim tagged chain re-spreads before its tokenize pass), so
-    the extra task fan-out would only add scheduling overhead to the
-    intermediate join/fold stages (r06 interleaved bisect: the frames
-    chain ran ~1.4s faster with the scan left serial)."""
+    many-small-stage consumers (the frame-dim tagged chain) where wide
+    task fan-out adds scheduling overhead to every intermediate
+    join/fold stage for little map-side gain (r06 interleaved bisect:
+    the frames chain ran ~1.4s faster with the scan left serial)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if spread:
         docs = spread_small_scan(docs, spark)
@@ -339,8 +368,13 @@ def vocab_titles(spark, sf_dir: str):
     cold at sf0.1), the split itself is a trivial fraction of the scan,
     and the RESULT is memoized anyway (_DIM_CACHE / _DIMFRAME_CACHE) so
     a session derives the vocabulary at most once per dim path. The
-    dedup families keep sharing ``words_from_documents``."""
+    dedup families keep sharing ``words_from_documents``; the token
+    DEFINITION stays single-sourced in ``textops.words_table`` (r06
+    review: an inline re-split could silently diverge from the dedup
+    families' tokenizer)."""
     from pyspark.sql import functions as F
+
+    from kbspark.textops import words_table
 
     # filter + initcap + per-doc dedup IN-ROW before the explode (r06,
     # guide §2.3 — aggregate before you shuffle): the distinct's
@@ -349,14 +383,13 @@ def vocab_titles(spark, sf_dir: str):
     # A/B parity-exact, row-reduction grows with per-doc repetition at
     # corpus scale.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = F.split(F.trim(F.col("text")), r"\s+")
     arr = F.array_distinct(
         F.transform(
-            F.filter(w, lambda t: F.length(t) >= 4),
+            F.filter(F.col("_w"), lambda t: F.length(t) >= 4),
             lambda t: F.initcap(t),
         )
     )
-    return docs.select(F.explode(arr).alias("title")).distinct()
+    return words_table(docs).select(F.explode(arr).alias("title")).distinct()
 
 
 #: per-(session, sf_dir) persisted DataFrame dims for the frame path —

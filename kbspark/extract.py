@@ -839,21 +839,21 @@ def annotate_stage_frames(pages_df, spark, entity_dim, redirect_dim,
         cleaned, spark, entity_dim, redirect_dim,
         broadcast_dims=broadcast_dims, targets=targets,
     )
+    # NO re-spread before the tokenize pass (r06 final): the maps side
+    # is per-page metadata — small relative to the text it describes —
+    # so the planner/AQE broadcasts it and the join PRESERVES the
+    # cleaned side's partitioning (the persisted python-stage output:
+    # the scan spread locally, the caller's layout at working-set/
+    # cluster scale). A repartition here was tried twice this round:
+    # first shipped inert (its size gate read the JOIN output, whose
+    # non-CBO estimate is a product of child sizes — review finding),
+    # then fixed to gate on the pre-join plan and measured to REGRESS
+    # the 60k-doc working set (13.6s vs 11.5s interleaved: it cut the
+    # preserved 128-way layout to 8). When maps ever exceeds broadcast
+    # budgets (corpus-scaled page count), the SMJ output is sized by
+    # AQE's advisory bytes — adequate partitioning at exactly the
+    # scales where that happens.
     enriched = cleaned.drop("_targets").join(maps, "url", "left")
-    # the heavy python tokenize/tag pass below consumes the JOIN output,
-    # whose post-shuffle partitioning AQE coalesces by BYTES — a
-    # working-set corpus collapses to 1-2 partitions and the annotate
-    # stage runs nearly single-core (r06 interleaved A/B: frames tagged
-    # chain 4.7-4.9s -> 2.7-3.2s with the re-spread). The fan-out is
-    # size-scaled (~4MB of cleaned text per task, capped at cores) so a
-    # tiny corpus doesn't pay 32-task scheduling amplification through
-    # every downstream stage, and a big corpus is left untouched
-    # entirely (size gate).
-    from kbspark.corpus import spread_small_scan
-
-    enriched = spread_small_scan(
-        enriched, spark, min_bytes_per_partition=4 * 1024 * 1024
-    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -121,9 +121,11 @@ def tagged_table(spark: SparkSession, sf_dir: str,
     kw = {} if dim_collect_cap is None else {"max_rows": dim_collect_cap}
     dims = try_dims_from_documents(spark, sf_dir, **kw)
     if dims is None:
-        # frames chain: leave the scan serial — its python passes run
-        # after shuffle boundaries and annotate_stage_frames re-spreads
-        # before the tokenize pass (see pages_from_documents docstring)
+        # frames chain: leave the scan serial — the chain is many small
+        # stages and wide fan-out costs more in scheduling than its
+        # python passes gain (see pages_from_documents docstring); the
+        # tokenize pass inherits the cleaned side's partitioning
+        # through the broadcast maps join (annotate_stage_frames)
         pages = pages_df if pages_df is not None else pages_from_documents(
             spark, sf_dir, spread=False
         )

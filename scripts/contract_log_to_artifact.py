@@ -87,7 +87,9 @@ def main() -> None:
     if fails:
         lines += ["", "## Failures", ""]
         for k, e in fails.items():
-            lines.append(f"- **{k}**: {e.get('detail')}")
+            # warn-only entries carry their message under 'warn', not
+            # 'detail' (r06 review: they rendered as 'None')
+            lines.append(f"- **{k}**: {e.get('detail') or e.get('warn')}")
     with open(f"{out_base}.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"{n_pass}/{len(entries)} -> {out_base}.json/.md")
